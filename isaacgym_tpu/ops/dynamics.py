@@ -250,10 +250,15 @@ def forward_dynamics(model: ArticulationModel, base_pos, base_quat, q, u,
 
 def point_jacobian(model: ArticulationModel, base_pos, base_quat, q, link: int, point_w):
     """Linear-velocity Jacobian (3, nv) of a world point rigidly attached to
-    articulated link ``link`` (e.g. the paddle contact point)."""
+    articulated link ``link`` (e.g. the paddle contact point). ``link == -1``
+    means the point is welded to the base (joint columns are zero)."""
     fp, fq = _link_frames(model, base_pos, base_quat, q)
     axis_w = rot.quat_rotate(fq, jnp.asarray(model.tree.dof_axis))
-    mask = jnp.asarray(model.ancestor_mask[link])                # (nd,)
+    nd = model.tree.n_dof
+    if link < 0:
+        mask = jnp.zeros(nd)
+    else:
+        mask = jnp.asarray(model.ancestor_mask[link, :nd])       # (nd,)
     rev = jnp.asarray(model.is_revolute)
     r = point_w[None, :] - fp                                    # (nd,3)
     cols = (jnp.cross(axis_w, r) * rev[:, None] + axis_w * (1.0 - rev)[:, None]) * mask[:, None]

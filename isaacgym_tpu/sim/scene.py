@@ -1,0 +1,199 @@
+"""Scene specification + static layout compilation (SURVEY.md §2 N4).
+
+The reference replicates a scene per env with a Python ``create_actor`` loop
+(/root/reference/tasks/humanoid_pingpong_3_actor_tilt_no_earlystop.py:517-649).
+Here the scene is declared **once** as a list of actor specs; compilation
+produces static layout tables (actor -> root slot, dof slice, body slice, geom
+tables) and every env shares them — the env dimension exists only as the
+leading batch axis of the state arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from isaacgym_tpu.models.kinematics import KinematicTree
+from isaacgym_tpu.ops.dynamics import ArticulationModel, build_articulation
+
+DRIVE_POS = 0     # PD position drive (gymapi.DOF_MODE_POS)
+DRIVE_EFFORT = 1  # direct torque (gymapi.DOF_MODE_EFFORT)
+
+
+@dataclass(frozen=True)
+class PlaneParams:
+    """Ground-plane params (reference ``gymapi.PlaneParams``)."""
+    static_friction: float = 1.0
+    dynamic_friction: float = 1.0
+    restitution: float = 0.0
+
+
+@dataclass
+class ActorSpec:
+    """One actor in the per-env scene (= one reference ``create_actor`` call)."""
+    name: str
+    tree: KinematicTree
+    pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    quat: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    fixed_base: bool = True
+    restitution: float = 0.0
+    friction: float = 0.5
+    drive_mode: int = DRIVE_POS
+    # PD gains per dof (length n_dof); None = zeros
+    stiffness: Optional[np.ndarray] = None
+    damping: Optional[np.ndarray] = None
+
+
+@dataclass
+class SceneSpec:
+    actors: List[ActorSpec]
+    plane: Optional[PlaneParams] = field(default_factory=PlaneParams)
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    dt: float = 1.0 / 120.0
+    substeps: int = 2
+    bounce_threshold_velocity: float = 0.2
+
+
+@dataclass(frozen=True)
+class ArticulationSlot:
+    actor_index: int
+    model: ArticulationModel
+    dof_start: int
+    dof_end: int
+    body_start: int
+    body_end: int
+    drive_mode: int
+    stiffness: np.ndarray
+    damping: np.ndarray
+
+
+@dataclass(frozen=True)
+class FreeBodySlot:
+    """A single-body free actor (the ball)."""
+    actor_index: int
+    body_start: int
+    mass: float
+    radius: float
+    restitution: float
+    friction: float
+
+
+@dataclass(frozen=True)
+class StaticGeom:
+    """Collision geom on a fixed-base, dof-less actor (table top, net)."""
+    actor_index: int
+    body_start: int
+    kind: int
+    local_pos: np.ndarray
+    local_quat: np.ndarray
+    size: np.ndarray
+    restitution: float
+    friction: float
+
+
+@dataclass(frozen=True)
+class ArtGeom:
+    """Collision geom on an articulated body (paddle, hands, torso...)."""
+    art_index: int           # index into CompiledScene.articulations
+    body_index: int          # body index within the articulation tree
+    kind: int
+    local_pos: np.ndarray
+    local_quat: np.ndarray
+    size: np.ndarray
+    restitution: float
+    friction: float
+
+
+@dataclass(frozen=True)
+class CompiledScene:
+    spec: SceneSpec
+    num_actors: int
+    num_dofs: int
+    num_bodies: int
+    articulations: Tuple[ArticulationSlot, ...]
+    free_bodies: Tuple[FreeBodySlot, ...]
+    static_geoms: Tuple[StaticGeom, ...]
+    art_geoms: Tuple[ArtGeom, ...]
+    initial_root: np.ndarray     # (num_actors, 13)
+    actor_names: Tuple[str, ...]
+    dof_names: Tuple[str, ...]
+    body_names: Tuple[str, ...]
+
+
+def compile_scene(spec: SceneSpec) -> CompiledScene:
+    from isaacgym_tpu.models import urdf as U
+
+    articulations: List[ArticulationSlot] = []
+    free_bodies: List[FreeBodySlot] = []
+    static_geoms: List[StaticGeom] = []
+    art_geoms: List[ArtGeom] = []
+    dof_names: List[str] = []
+    body_names: List[str] = []
+    initial_root = np.zeros((len(spec.actors), 13), dtype=np.float32)
+
+    dof_cursor = 0
+    body_cursor = 0
+    for ai, actor in enumerate(spec.actors):
+        tree = actor.tree
+        initial_root[ai, 0:3] = actor.pos
+        initial_root[ai, 3:7] = actor.quat
+        nd, nb = tree.n_dof, tree.n_bodies
+        if nd > 0:
+            model = build_articulation(tree)
+            kp = np.zeros(nd, np.float32) if actor.stiffness is None else np.asarray(actor.stiffness, np.float32)
+            kd = np.zeros(nd, np.float32) if actor.damping is None else np.asarray(actor.damping, np.float32)
+            slot = ArticulationSlot(
+                actor_index=ai, model=model,
+                dof_start=dof_cursor, dof_end=dof_cursor + nd,
+                body_start=body_cursor, body_end=body_cursor + nb,
+                drive_mode=actor.drive_mode, stiffness=kp, damping=kd,
+            )
+            art_idx = len(articulations)
+            articulations.append(slot)
+            for g in range(len(tree.geom_kind)):
+                art_geoms.append(ArtGeom(
+                    art_index=art_idx, body_index=int(tree.geom_body[g]),
+                    kind=int(tree.geom_kind[g]),
+                    local_pos=tree.geom_pos[g], local_quat=tree.geom_quat[g],
+                    size=tree.geom_size[g],
+                    restitution=actor.restitution, friction=actor.friction,
+                ))
+        elif not actor.fixed_base:
+            # free rigid body — must be a single sphere (the ball)
+            if len(tree.geom_kind) != 1 or tree.geom_kind[0] != U.GEOM_SPHERE:
+                raise NotImplementedError("free actors must be single spheres")
+            free_bodies.append(FreeBodySlot(
+                actor_index=ai, body_start=body_cursor,
+                mass=float(tree.mass[0]), radius=float(tree.geom_size[0][0]),
+                restitution=actor.restitution, friction=actor.friction,
+            ))
+        else:
+            for g in range(len(tree.geom_kind)):
+                static_geoms.append(StaticGeom(
+                    actor_index=ai, body_start=body_cursor,
+                    kind=int(tree.geom_kind[g]),
+                    local_pos=tree.geom_pos[g], local_quat=tree.geom_quat[g],
+                    size=tree.geom_size[g],
+                    restitution=actor.restitution, friction=actor.friction,
+                ))
+        dof_names += [f"{actor.name}/{n}" for n in tree.dof_names]
+        body_names += [f"{actor.name}/{n}" for n in tree.body_names]
+        dof_cursor += nd
+        body_cursor += nb
+
+    return CompiledScene(
+        spec=spec,
+        num_actors=len(spec.actors),
+        num_dofs=dof_cursor,
+        num_bodies=body_cursor,
+        articulations=tuple(articulations),
+        free_bodies=tuple(free_bodies),
+        static_geoms=tuple(static_geoms),
+        art_geoms=tuple(art_geoms),
+        initial_root=initial_root,
+        actor_names=tuple(a.name for a in spec.actors),
+        dof_names=tuple(dof_names),
+        body_names=tuple(body_names),
+    )

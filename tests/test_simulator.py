@@ -1,0 +1,221 @@
+"""Simulator integration tests: ballistic flight, restitution, PD drives,
+and the full pingpong scene (SURVEY.md §4: contact restitution vs closed
+forms; ball-on-table bounce)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from isaacgym_tpu.models import urdf as U
+from isaacgym_tpu.models import kinematics as K
+from isaacgym_tpu.models.assets import generate
+from isaacgym_tpu.sim.scene import (
+    ActorSpec, PlaneParams, SceneSpec, compile_scene, DRIVE_POS,
+)
+from isaacgym_tpu.sim.simulator import Simulator
+
+ASSET_DIR = generate.ASSET_DIR
+
+
+def _ball_tree():
+    return K.load_asset(os.path.join(ASSET_DIR, "small_ball.urdf"))
+
+
+def _table_tree():
+    return K.load_asset(os.path.join(ASSET_DIR, "pingpong_table.urdf"))
+
+
+def _g1_tree():
+    return K.load_asset(os.path.join(ASSET_DIR, "g1_29dof_rev_1_0_pingpong_fixed_except_right_arm.urdf"))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ensure_assets():
+    if not os.path.exists(os.path.join(ASSET_DIR, "small_ball.urdf")):
+        generate.generate_all()
+
+
+def _run(sim, state, targets, efforts, steps):
+    B = state.root.shape[0]
+
+    def body(s, _):
+        return sim.step(s, targets, efforts), None
+
+    state, _ = jax.lax.scan(body, state, None, length=steps)
+    return state
+
+
+def test_ballistic_flight_matches_closed_form():
+    spec = SceneSpec(
+        actors=[ActorSpec("ball", _ball_tree(), pos=(0, 0, 5.0), fixed_base=False,
+                          restitution=1.5, friction=0.2)],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    B = 4
+    state = sim.initial_state(B)
+    zeros = jnp.zeros((B, 0))
+    t = 0.5
+    steps = int(t / spec.dt)
+    state = _run(sim, state, zeros, zeros, steps)
+    z = float(state.root[0, 0, 2])
+    # z = z0 - g t^2 / 2 (symplectic Euler bias ~ g*dt*t/2, tolerate)
+    expected = 5.0 - 0.5 * 9.81 * t * t
+    np.testing.assert_allclose(z, expected, atol=0.03)
+    vz = float(state.root[0, 0, 9])
+    np.testing.assert_allclose(vz, -9.81 * t, atol=0.01)
+
+
+def test_ground_bounce_restitution():
+    # ball e=1.5, plane e=0 -> combined (average) 0.75
+    spec = SceneSpec(
+        actors=[ActorSpec("ball", _ball_tree(), pos=(0, 0, 1.0), fixed_base=False,
+                          restitution=1.5, friction=0.2)],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    state = sim.initial_state(2)
+    zeros = jnp.zeros((2, 0))
+
+    def body(s, _):
+        s2 = sim.step(s, zeros, zeros)
+        return s2, s2.root[:, 0, 9]  # vz trace
+
+    state, vz = jax.lax.scan(body, state, None, length=120)
+    vz = np.asarray(vz[:, 0])
+    # find the bounce: vz flips negative -> positive
+    idx = int(np.argmax((vz[:-1] < 0) & (vz[1:] > 0)))
+    v_in, v_out = vz[idx], vz[idx + 1]
+    assert v_in < -3.0
+    np.testing.assert_allclose(v_out / -v_in, 0.75, atol=0.02)
+
+
+def test_table_bounce_super_elastic():
+    # ball at rest above the table: e_comb = avg(1.5, 1.5) = 1.5 -> ball
+    # bounces back HIGHER (super-elastic, the tilt-family config:
+    # reference .../humanoid_pingpong_3_actor_tilt_no_earlystop.py:586,634)
+    spec = SceneSpec(
+        actors=[
+            ActorSpec("table", _table_tree(), pos=(0.0, 0, 0), fixed_base=True,
+                      restitution=1.5, friction=0.2),
+            ActorSpec("ball", _ball_tree(), pos=(0.5, 0, 1.2), fixed_base=False,
+                      restitution=1.5, friction=0.2),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    state = sim.initial_state(1)
+    zeros = jnp.zeros((1, 0))
+
+    def body(s, _):
+        s2 = sim.step(s, zeros, zeros)
+        return s2, (s2.root[:, 1, 2], s2.root[:, 1, 9])
+
+    state, (z, vz) = jax.lax.scan(body, state, None, length=240)
+    z = np.asarray(z[:, 0]); vz = np.asarray(vz[:, 0])
+    idx = int(np.argmax((vz[:-1] < 0) & (vz[1:] > 0)))
+    v_in, v_out = vz[idx], vz[idx + 1]
+    assert v_in < -2.0
+    np.testing.assert_allclose(v_out / -v_in, 1.5, atol=0.03)
+    # ball must reach above its drop height afterwards
+    assert z.max() > 1.25
+
+
+def test_pd_drive_reaches_target():
+    xml = """
+    <robot name="arm1">
+      <link name="base"><inertial><mass value="1"/><inertia ixx="0.1" iyy="0.1" izz="0.1"/></inertial></link>
+      <link name="arm">
+        <inertial><origin xyz="0 0 -0.3"/><mass value="1.0"/>
+          <inertia ixx="0.01" iyy="0.01" izz="0.001"/></inertial>
+      </link>
+      <joint name="j" type="revolute">
+        <origin xyz="0 0 0"/><parent link="base"/><child link="arm"/>
+        <axis xyz="0 1 0"/><limit lower="-3" upper="3" effort="50" velocity="20"/>
+        <dynamics armature="0.01"/>
+      </joint>
+    </robot>
+    """
+    tree = K.compile_tree(U.parse_urdf(xml, from_string=True))
+    spec = SceneSpec(
+        actors=[ActorSpec("arm", tree, pos=(0, 0, 1.0), fixed_base=True,
+                          drive_mode=DRIVE_POS,
+                          stiffness=np.asarray([40.0]), damping=np.asarray([4.0]))],
+        plane=None, dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    B = 3
+    state = sim.initial_state(B)
+    target = jnp.full((B, 1), 0.8)
+    eff = jnp.zeros((B, 1))
+    state = _run(sim, state, target, eff, 600)  # 5 s to settle under gravity
+    q = np.asarray(state.dof_pos[:, 0])
+    # gravity droop: kp*(tgt-q) = m g l sin(q) -> small offset from target
+    assert np.all(np.abs(q - 0.8) < 0.1), q
+    assert np.all(np.abs(np.asarray(state.dof_vel)) < 0.05)
+
+
+def _pingpong_scene(tilt=True):
+    kp = np.asarray([20.0, 20, 20, 20, 20, 5, 5], np.float32)
+    return SceneSpec(
+        actors=[
+            ActorSpec("humanoid1", _g1_tree(), pos=(0, 0, 1.0), fixed_base=True,
+                      restitution=0.6, friction=0.5,
+                      stiffness=kp, damping=kp / 40.0),
+            ActorSpec("pingpong_table", _table_tree(), pos=(1.75, 0, 0), fixed_base=True,
+                      restitution=1.5, friction=0.2),
+            ActorSpec("pingpong_ball_2", _ball_tree(), pos=(2.9, -0.28, 1.02), fixed_base=False,
+                      restitution=1.5, friction=0.2),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    )
+
+
+def test_pingpong_scene_steps_and_ball_arrives():
+    scene = compile_scene(_pingpong_scene())
+    assert scene.num_actors == 3
+    assert scene.num_dofs == 7
+    assert scene.num_bodies == 42
+    sim = Simulator(scene)
+    B = 8
+    state = sim.initial_state(B)
+    # launch the ball toward the robot like the C7 reset (speed 5.6, slight up-tilt)
+    v0 = jnp.asarray([-5.6 * np.cos(np.radians(13.0)), 0.0, 5.6 * np.sin(np.radians(13.0))], dtype=jnp.float32)
+    state = state._replace(root=state.root.at[:, 2, 7:10].set(v0))
+    targets = jnp.zeros((B, 7))
+    efforts = jnp.zeros((B, 7))
+
+    def body(s, _):
+        s2 = sim.step(s, targets, efforts)
+        return s2, (s2.root[:, 2, 0], s2.root[:, 2, 2], s2.root[:, 2, 7])
+
+    state, (bx, bz, bvx) = jax.lax.scan(body, state, None, length=90)
+    bx = np.asarray(bx[:, 0]); bz = np.asarray(bz[:, 0]); bvx = np.asarray(bvx[:, 0])
+    assert np.all(np.isfinite(np.asarray(state.root)))
+    # ball crossed the net plane (x=1.75) toward the robot
+    assert bx.min() < 1.0, bx.min()
+    # ball bounced on the table at least once (z dipped near the surface then rose)
+    near_table = (bz < 0.85) & (bx > 0.4) & (bx < 3.1)
+    assert near_table.any()
+    rb = sim.rigid_body_states(state)
+    assert rb.shape == (8, 42, 13)
+    assert np.all(np.isfinite(np.asarray(rb)))
+
+
+def test_batch_envs_independent():
+    """Different ball velocities per env evolve independently (no cross-talk)."""
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    B = 4
+    state = sim.initial_state(B)
+    vx = jnp.asarray([-4.0, -5.0, -6.0, -7.0])
+    root = state.root.at[:, 2, 7].set(vx)
+    root = root.at[:, 2, 9].set(2.0)  # launch upward, clear of table/net
+    state = state._replace(root=root)
+    targets = jnp.zeros((B, 7)); efforts = jnp.zeros((B, 7))
+    state = _run(sim, state, targets, efforts, 20)  # 0.167 s: pre-contact
+    x = np.asarray(state.root[:, 2, 0])
+    assert np.all(np.diff(x) < 0), x  # faster balls are further along -x
