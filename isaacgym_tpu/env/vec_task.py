@@ -1,0 +1,185 @@
+"""Functional vectorized-task base — the VecTask equivalent (SURVEY.md §2 N7).
+
+The reference VecTask owns buffers and a host-driven step loop with a
+``reset_buf.nonzero()`` device->host round trip
+(/root/reference/tasks/humanoid_pingpong_3_actor_tilt_no_earlystop.py:1045).
+Here the whole step — action scaling, physics substeps, reward, **auto-reset**
+and observation — is one pure jitted function over a batched ``EnvState``
+pytree; resets are a branch-free ``where`` merge with per-env PRNG keys
+(no host sync, SURVEY.md §7.4).
+
+Subclasses implement single-env hooks; this base vmaps/jits them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from isaacgym_tpu.sim.scene import SceneSpec, compile_scene
+from isaacgym_tpu.sim.simulator import SimState, Simulator
+
+
+class EnvState(NamedTuple):
+    sim: SimState                  # batched (B, ...)
+    progress: jnp.ndarray          # (B,) int32
+    rng: jnp.ndarray               # (B,) jax PRNG keys
+    flags: Dict[str, jnp.ndarray]  # task one-shot flags, each (B,)
+    pre_ball_root: jnp.ndarray     # (B, 13) ball root before the last physics step
+
+
+class TpuVecTask:
+    """Base class for the pingpong task family.
+
+    Contract mirrored from the reference (SURVEY.md §1 L3): the subclass
+    ctor sets ``cfg["env"]["numObservations"]`` / ``["numActions"]`` before
+    calling ``super().__init__``; buffers become return values instead of
+    mutable members.
+    """
+
+    #: actor index of the ball within the per-env scene (subclass override)
+    ball_actor: int = 2
+
+    def __init__(self, cfg: Dict[str, Any], seed: int = 42):
+        self.cfg = cfg
+        env_cfg = cfg["env"]
+        self.num_envs = int(env_cfg["numEnvs"])
+        self.num_obs = int(env_cfg["numObservations"])
+        self.num_actions = int(env_cfg["numActions"])
+        self.max_episode_length = int(env_cfg["episodeLength"])
+        self.clip_actions = float(env_cfg.get("clipActions", 1.0))
+        self.seed = int(seed)
+
+        self.scene_spec: SceneSpec = self.create_scene()
+        self.scene = compile_scene(self.scene_spec)
+        self.sim = Simulator(self.scene)
+
+        # PD action mapping from DOF limits (reference .../no_earlystop.py:672-673)
+        lo, hi = self._action_dof_limits()
+        self._pd_action_offset = jnp.asarray(0.5 * (hi + lo), dtype=jnp.float32)
+        self._pd_action_scale = jnp.asarray(0.5 * (hi - lo), dtype=jnp.float32)
+
+        self._step_fn = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._reset_fn = jax.jit(self._initial_env_state)
+
+    # ------------------------------------------------------------------
+    # subclass hooks (single env unless stated)
+    # ------------------------------------------------------------------
+
+    def create_scene(self) -> SceneSpec:
+        raise NotImplementedError
+
+    def init_flags(self) -> Dict[str, jnp.ndarray]:
+        """Scalar (unbatched) initial one-shot flag values."""
+        return {}
+
+    def reset_sim_single(self, key, sim: SimState) -> SimState:
+        """Reset one env's sim state (root states, ball velocity, ...)."""
+        raise NotImplementedError
+
+    def observe_single(self, sim: SimState, rb_states, flags) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def reward_single(self, pre_ball_root, sim: SimState, rb_states, flags,
+                      progress) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Returns (reward, reset, updated flags)."""
+        raise NotImplementedError
+
+    def _action_dof_limits(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(lower, upper) per actuated dof; default: all scene dofs."""
+        los, his = [], []
+        for slot in self.scene.articulations:
+            los.append(slot.model.tree.lower)
+            his.append(slot.model.tree.upper)
+        return np.concatenate(los), np.concatenate(his)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def reset(self) -> Tuple[EnvState, jnp.ndarray]:
+        """Fresh env state + initial observations (jitted)."""
+        return self._reset_fn()
+
+    def step(self, state: EnvState, actions) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
+        """One vectorized env step: (state', obs, reward, done, info)."""
+        return self._step_fn(state, actions)
+
+    @property
+    def step_fn(self):
+        """The raw jitted step for embedding in training ``lax.scan`` loops."""
+        return self._step_fn
+
+    # ------------------------------------------------------------------
+    # implementation
+    # ------------------------------------------------------------------
+
+    def _initial_env_state(self) -> Tuple[EnvState, jnp.ndarray]:
+        B = self.num_envs
+        # raw uint32 (B,2) keys: branch-free to merge with jnp.where
+        base = jax.random.PRNGKey(self.seed)
+        keys = jax.random.split(base, B)
+        sim0 = self.sim.initial_state(B)
+
+        def reset_one(key, sim_single):
+            k_use, k_next = jax.random.split(key)
+            return self.reset_sim_single(k_use, sim_single), k_next
+
+        sim1, keys = jax.vmap(reset_one)(keys, sim0)
+        flags = {k: jnp.broadcast_to(v, (B,) + jnp.shape(v)) for k, v in self.init_flags().items()}
+        state = EnvState(
+            sim=sim1,
+            progress=jnp.zeros(B, jnp.int32),
+            rng=keys,
+            flags=flags,
+            pre_ball_root=sim1.root[:, self.ball_actor, :],
+        )
+        rb = self.sim.rigid_body_states(sim1)
+        obs = jax.vmap(self.observe_single)(sim1, rb, flags)
+        return state, obs
+
+    def _step_impl(self, state: EnvState, actions):
+        actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
+        targets = self._pd_action_offset + self._pd_action_scale * actions
+        efforts = jnp.zeros_like(targets)
+
+        pre_ball = state.sim.root[:, self.ball_actor, :]
+        sim = self.sim.step(state.sim, targets, efforts)
+        progress = state.progress + 1
+
+        rb = self.sim.rigid_body_states(sim)
+        rew, reset, flags = jax.vmap(self.reward_single)(
+            pre_ball, sim, rb, state.flags, progress)
+
+        # branch-free auto-reset: compute the would-be reset state for every
+        # env, merge with where (replaces reference reset_buf.nonzero())
+        def reset_one(key, sim_single):
+            k_use, k_next = jax.random.split(key)
+            return self.reset_sim_single(k_use, sim_single), k_next
+
+        sim_reset, next_keys = jax.vmap(reset_one)(state.rng, sim)
+        do = reset.astype(bool)
+
+        def merge(a, b):
+            mask = do.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(mask, a, b)
+
+        sim = jax.tree.map(merge, sim_reset, sim)
+        rng = jnp.where(do[:, None], next_keys, state.rng)
+        progress = jnp.where(do, 0, progress)
+        init_flags = self.init_flags()
+        flags = {k: jnp.where(do, init_flags[k], v) for k, v in flags.items()}
+
+        rb = self.sim.rigid_body_states(sim)
+        obs = jax.vmap(self.observe_single)(sim, rb, flags)
+
+        new_state = EnvState(sim=sim, progress=progress, rng=rng, flags=flags,
+                             pre_ball_root=pre_ball)
+        # same boundary as the reference reset condition (progress >= len-1)
+        time_outs = state.progress + 1 >= self.max_episode_length - 1
+        info = {"time_outs": time_outs & do}
+        return new_state, obs, rew, reset, info

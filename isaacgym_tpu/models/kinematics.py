@@ -316,100 +316,127 @@ def load_asset(path: str, floating_base: bool = False) -> KinematicTree:
 # ---------------------------------------------------------------------------
 
 def fk_dof_frames(tree: KinematicTree, base_pos, base_quat, q):
-    """World pose of every DOF child frame.
+    """World pose of every DOF child frame (single env; vmap for batches).
+
+    TPU-first: one ``lax.scan`` over the topologically-ordered DOFs with a
+    dynamic parent gather — the loop body compiles ONCE instead of unrolling
+    per joint (compile-time and code-size win; the chain is sequential
+    either way).
 
     Args:
-      base_pos: (..., 3) base (root body) world position.
-      base_quat: (..., 4) base world orientation.
-      q: (..., nd) DOF positions.
+      base_pos: (3,) base world position;  base_quat: (4,);  q: (nd,).
     Returns:
-      (pos, quat): each (..., nd, 3/4).
+      (pos, quat): (nd, 3) and (nd, 4).
     """
+    import jax
+
+    if q.ndim > 1:  # convenience auto-batching for direct callers
+        return jax.vmap(lambda bp, bq, qq: fk_dof_frames(tree, bp, bq, qq))(
+            base_pos, base_quat, q)
+
     nd = tree.n_dof
-    poses_p = []
-    poses_q = []
-    for d in range(nd):  # static unroll; nd <= 29
-        pd = int(tree.dof_parent[d])
-        if pd < 0:
-            pp, pq = base_pos, base_quat
-        else:
-            pp, pq = poses_p[pd], poses_q[pd]
-        pre_pos = jnp.asarray(tree.dof_pre_pos[d])
-        pre_quat = jnp.asarray(tree.dof_pre_quat[d])
-        jp = pp + rot.quat_rotate(pq, jnp.broadcast_to(pre_pos, pp.shape))
-        jq = rot.quat_mul(pq, jnp.broadcast_to(pre_quat, pq.shape))
-        if tree.dof_type[d] == U.JOINT_REVOLUTE:
-            axis = jnp.broadcast_to(jnp.asarray(tree.dof_axis[d]), jp.shape)
-            rq = rot.quat_from_angle_axis(q[..., d], axis)
-            bq = rot.quat_mul(jq, rq)
-            bp = jp
-        else:  # prismatic
-            axis = jnp.asarray(tree.dof_axis[d])
-            bp = jp + rot.quat_rotate(jq, axis * q[..., d][..., None])
-            bq = jq
-        poses_p.append(bp)
-        poses_q.append(bq)
-    return jnp.stack(poses_p, axis=-2), jnp.stack(poses_q, axis=-2)
+    parent = jnp.asarray(np.where(tree.dof_parent < 0, nd, tree.dof_parent))
+    pre_pos = jnp.asarray(tree.dof_pre_pos)
+    pre_quat = jnp.asarray(tree.dof_pre_quat)
+    axis = jnp.asarray(tree.dof_axis)
+    is_rev = jnp.asarray((tree.dof_type == U.JOINT_REVOLUTE).astype(np.float32))
+
+    pos_buf = jnp.zeros((nd + 1, 3)).at[nd].set(base_pos)
+    quat_buf = jnp.zeros((nd + 1, 4)).at[:, 3].set(1.0).at[nd].set(base_quat)
+
+    def body(bufs, d):
+        pos_buf, quat_buf = bufs
+        pp = pos_buf[parent[d]]
+        pq = quat_buf[parent[d]]
+        jp = pp + rot.quat_rotate(pq, pre_pos[d])
+        jq = rot.quat_mul(pq, pre_quat[d])
+        rq = rot.quat_from_angle_axis(q[d] * is_rev[d], axis[d])
+        bq = rot.quat_mul(jq, rq)
+        bp = jp + (1.0 - is_rev[d]) * rot.quat_rotate(jq, axis[d] * q[d])
+        return (pos_buf.at[d].set(bp), quat_buf.at[d].set(bq)), None
+
+    (pos_buf, quat_buf), _ = jax.lax.scan(body, (pos_buf, quat_buf), jnp.arange(nd))
+    return pos_buf[:nd], quat_buf[:nd]
+
+
+def fk_dof_velocities(tree: KinematicTree, dof_pos_w, dof_quat_w, qd,
+                      base_pos, base_linvel, base_angvel):
+    """Spatial velocity (ω, v_origin) of every DOF frame via one scan.
+
+    Returns (omega (nd,3), vel (nd,3)).
+    """
+    import jax
+
+    nd = tree.n_dof
+    parent = jnp.asarray(np.where(tree.dof_parent < 0, nd, tree.dof_parent))
+    axis = jnp.asarray(tree.dof_axis)
+    is_rev = jnp.asarray((tree.dof_type == U.JOINT_REVOLUTE).astype(np.float32))
+
+    pos_ext = jnp.concatenate([dof_pos_w, base_pos[None]], axis=0)
+    w_buf = jnp.zeros((nd + 1, 3)).at[nd].set(base_angvel)
+    v_buf = jnp.zeros((nd + 1, 3)).at[nd].set(base_linvel)
+
+    def body(bufs, d):
+        w_buf, v_buf = bufs
+        pd = parent[d]
+        w_p, v_p, p_p = w_buf[pd], v_buf[pd], pos_ext[pd]
+        p_b = dof_pos_w[d]
+        axis_w = rot.quat_rotate(dof_quat_w[d], axis[d])
+        v_here = v_p + jnp.cross(w_p, p_b - p_p)
+        w_b = w_p + axis_w * (qd[d] * is_rev[d])
+        v_b = v_here + axis_w * (qd[d] * (1.0 - is_rev[d]))
+        return (w_buf.at[d].set(w_b), v_buf.at[d].set(v_b)), None
+
+    (w_buf, v_buf), _ = jax.lax.scan(body, (w_buf, v_buf), jnp.arange(nd))
+    return w_buf[:nd], v_buf[:nd]
 
 
 def fk_body_states(tree: KinematicTree, base_pos, base_quat, q, qd,
-                   base_linvel=None, base_angvel=None):
-    """Full rigid-body state tensor for all bodies: (..., nb, 13) with the
+                   base_linvel=None, base_angvel=None, frames=None):
+    """Full rigid-body state tensor for all bodies: (nb, 13) with the
     reference layout pos(3)+quat(4,xyzw)+linvel(3)+angvel(3) (SURVEY.md §1 L1).
 
-    Velocities are exact spatial propagation: welded bodies share the angular
-    velocity of their reference DOF frame; linear velocity is taken at the
-    body frame origin.
+    Single env (vmap for batches). Body assembly is fully vectorized — one
+    gather over the DOF frame buffers + batched quaternion math over all
+    bodies at once. ``frames`` lets callers reuse precomputed dof frames.
     """
-    nd = tree.n_dof
-    batch = q.shape[:-1]
+    import jax
+
+    if q.ndim > 1:
+        if base_linvel is None:
+            base_linvel = jnp.zeros(q.shape[:-1] + (3,))
+        if base_angvel is None:
+            base_angvel = jnp.zeros(q.shape[:-1] + (3,))
+        return jax.vmap(lambda a, b, c, d, e, f: fk_body_states(tree, a, b, c, d, e, f))(
+            base_pos, base_quat, q, qd, base_linvel, base_angvel)
+
     if base_linvel is None:
-        base_linvel = jnp.zeros(batch + (3,))
+        base_linvel = jnp.zeros(3)
     if base_angvel is None:
-        base_angvel = jnp.zeros(batch + (3,))
+        base_angvel = jnp.zeros(3)
 
-    dof_pos, dof_quat = fk_dof_frames(tree, base_pos, base_quat, q)
+    if frames is None:
+        dof_pos_w, dof_quat_w = fk_dof_frames(tree, base_pos, base_quat, q)
+    else:
+        dof_pos_w, dof_quat_w = frames
+    omega, vel = fk_dof_velocities(tree, dof_pos_w, dof_quat_w, qd,
+                                   base_pos, base_linvel, base_angvel)
 
-    # propagate spatial velocity per dof frame
-    omegas = []
-    vels = []
-    for d in range(nd):
-        pd = int(tree.dof_parent[d])
-        if pd < 0:
-            w_p, v_p, p_p = base_angvel, base_linvel, base_pos
-        else:
-            w_p, v_p, p_p = omegas[pd], vels[pd], dof_pos[..., pd, :]
-        p_b = dof_pos[..., d, :]
-        q_b = dof_quat[..., d, :]
-        v_here = v_p + jnp.cross(w_p, p_b - p_p)
-        if tree.dof_type[d] == U.JOINT_REVOLUTE:
-            axis_w = rot.quat_rotate(q_b, jnp.broadcast_to(jnp.asarray(tree.dof_axis[d]), p_b.shape))
-            w_b = w_p + axis_w * qd[..., d][..., None]
-            v_b = v_here
-        else:
-            axis_w = rot.quat_rotate(q_b, jnp.broadcast_to(jnp.asarray(tree.dof_axis[d]), p_b.shape))
-            w_b = w_p
-            v_b = v_here + axis_w * qd[..., d][..., None]
-        omegas.append(w_b)
-        vels.append(v_b)
+    nd = tree.n_dof
+    # extended buffers with the base at slot nd
+    pos_ext = jnp.concatenate([dof_pos_w, base_pos[None]], axis=0)
+    quat_ext = jnp.concatenate([dof_quat_w, base_quat[None]], axis=0)
+    w_ext = jnp.concatenate([omega, base_angvel[None]], axis=0)
+    v_ext = jnp.concatenate([vel, base_linvel[None]], axis=0)
 
-    # assemble per body
-    out = []
-    for b in range(tree.n_bodies):
-        d = int(tree.body_ref_dof[b])
-        if d < 0:
-            rp, rq_, rw, rv = base_pos, base_quat, base_angvel, base_linvel
-            ref_origin = base_pos
-        else:
-            rp = dof_pos[..., d, :]
-            rq_ = dof_quat[..., d, :]
-            rw = omegas[d]
-            rv = vels[d]
-            ref_origin = rp
-        off_p = jnp.asarray(tree.body_ref_pos[b])
-        off_q = jnp.asarray(tree.body_ref_quat[b])
-        bp = rp + rot.quat_rotate(rq_, jnp.broadcast_to(off_p, rp.shape))
-        bq = rot.quat_mul(rq_, jnp.broadcast_to(off_q, rq_.shape))
-        bv = rv + jnp.cross(rw, bp - ref_origin)
-        out.append(jnp.concatenate([bp, bq, bv, rw], axis=-1))
-    return jnp.stack(out, axis=-2)
+    ref = jnp.asarray(np.where(tree.body_ref_dof < 0, nd, tree.body_ref_dof))
+    rp = pos_ext[ref]           # (nb,3)
+    rq = quat_ext[ref]
+    rw = w_ext[ref]
+    rv = v_ext[ref]
+    off_p = jnp.asarray(tree.body_ref_pos)
+    off_q = jnp.asarray(tree.body_ref_quat)
+    bp = rp + rot.quat_rotate(rq, off_p)
+    bq = rot.quat_mul(rq, off_q)
+    bv = rv + jnp.cross(rw, bp - rp)
+    return jnp.concatenate([bp, bq, bv, rw], axis=-1)

@@ -248,24 +248,34 @@ def forward_dynamics(model: ArticulationModel, base_pos, base_quat, q, u,
     return udot, chol
 
 
-def point_jacobian(model: ArticulationModel, base_pos, base_quat, q, link: int, point_w):
-    """Linear-velocity Jacobian (3, nv) of a world point rigidly attached to
-    articulated link ``link`` (e.g. the paddle contact point). ``link == -1``
-    means the point is welded to the base (joint columns are zero)."""
-    fp, fq = _link_frames(model, base_pos, base_quat, q)
-    axis_w = rot.quat_rotate(fq, jnp.asarray(model.tree.dof_axis))
+def point_jacobians(model: ArticulationModel, frames, base_pos, links, points_w):
+    """Vectorized linear-velocity Jacobians for K world points attached to
+    articulated links.
+
+    Args:
+      frames: precomputed ``fk_dof_frames`` output (fp (nd,3), fq (nd,4)) —
+        reused across all contact points of a substep.
+      links: (K,) int numpy array of link (dof) indices; -1 = welded to base.
+      points_w: (K,3) world points.
+    Returns:
+      (K, 3, nv) Jacobians.
+    """
+    fp, fq = frames
     nd = model.tree.n_dof
-    if link < 0:
-        mask = jnp.zeros(nd)
-    else:
-        mask = jnp.asarray(model.ancestor_mask[link, :nd])       # (nd,)
+    axis_w = rot.quat_rotate(fq, jnp.asarray(model.tree.dof_axis))   # (nd,3)
     rev = jnp.asarray(model.is_revolute)
-    r = point_w[None, :] - fp                                    # (nd,3)
-    cols = (jnp.cross(axis_w, r) * rev[:, None] + axis_w * (1.0 - rev)[:, None]) * mask[:, None]
-    J = cols.T                                                   # (3, nd)
+    # joint rows of the ancestor mask + a zero row for base-welded points
+    joint_mask = np.concatenate([model.ancestor_mask[:nd, :nd],
+                                 np.zeros((1, nd), np.float32)], axis=0)
+    links = np.asarray(links)
+    rows = jnp.asarray(joint_mask[np.where(links < 0, nd, links)])   # (K,nd)
+    r = points_w[:, None, :] - fp[None, :, :]                        # (K,nd,3)
+    cols = (jnp.cross(axis_w[None], r) * rev[None, :, None]
+            + axis_w[None] * (1.0 - rev)[None, :, None]) * rows[..., None]
+    J = jnp.swapaxes(cols, 1, 2)                                     # (K,3,nd)
     if not model.floating:
         return J
-    rb = point_w - base_pos
+    rb = points_w - base_pos                                          # (K,3)
 
     def skew(v):
         zero = jnp.zeros_like(v[..., 0])
@@ -274,4 +284,13 @@ def point_jacobian(model: ArticulationModel, base_pos, base_quat, q, link: int, 
             jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
             jnp.stack([-v[..., 1], v[..., 0], zero], -1),
         ], -2)
-    return jnp.concatenate([-skew(rb), jnp.eye(3), J], axis=-1)
+    K = J.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+    return jnp.concatenate([-skew(rb), eye, J], axis=-1)
+
+
+def point_jacobian(model: ArticulationModel, base_pos, base_quat, q, link: int, point_w):
+    """Single-point convenience wrapper over :func:`point_jacobians`."""
+    frames = _link_frames(model, base_pos, base_quat, q)
+    return point_jacobians(model, frames, base_pos,
+                           np.asarray([link]), point_w[None])[0]

@@ -3,8 +3,14 @@
 One fused, jittable step over a PyTree state: PD drives -> articulated
 forward dynamics (ops.dynamics) -> semi-implicit Euler -> impulse contacts
 (ops.contacts) with two-body coupling between the ball and the articulated
-arm.  The whole substep loop lives inside ``jit``; the env batch is a
+arm. The whole substep loop lives inside ``jit``; the env batch is a
 ``vmap`` axis (reference hot loop: SURVEY.md §3.2).
+
+TPU-first structure: DOF-frame FK is a single ``lax.scan`` (compiled once,
+not unrolled per joint); all collision geoms are **grouped by primitive
+kind at compile time** and evaluated as stacked vectorized ops; contact
+Jacobians for every candidate point come from one gather + einsum; the
+joint-space solve reuses one Cholesky factor per articulation per substep.
 
 State layout follows the reference tensor-API contract (SURVEY.md §1 L1):
   root:     (num_actors, 13) = pos(3) + quat(4, xyzw) + linvel(3) + angvel(3)
@@ -14,20 +20,19 @@ batched to (B, ...) by the public API.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from isaacgym_tpu.models import urdf as U
-from isaacgym_tpu.models.kinematics import fk_body_states, fk_dof_frames
+from isaacgym_tpu.models.kinematics import (
+    fk_body_states, fk_dof_frames, fk_dof_velocities,
+)
 from isaacgym_tpu.ops import contacts as C
 from isaacgym_tpu.ops import dynamics as D
-from isaacgym_tpu.sim.scene import (
-    DRIVE_POS, ArticulationSlot, CompiledScene, FreeBodySlot,
-)
+from isaacgym_tpu.sim.scene import DRIVE_POS, ArticulationSlot, CompiledScene
 from isaacgym_tpu.utils import rotations as rot
 
 
@@ -39,12 +44,31 @@ class SimState(NamedTuple):
     dof_force: jnp.ndarray  # (num_dofs,) last applied drive torque (sensor parity)
 
 
+class _GeomGroup(NamedTuple):
+    """Static stacked arrays for one (owner, primitive-kind) geom group."""
+    kind: int
+    actor_index: np.ndarray   # (k,) owning actor (static geoms) or articulation actor
+    link: np.ndarray          # (k,) dof-link index within articulation (-1 = base)
+    offset_pos: np.ndarray    # (k,3) owner-frame offset (body_ref ∘ local for art geoms)
+    offset_quat: np.ndarray   # (k,4)
+    size: np.ndarray          # (k,3)
+    restitution: np.ndarray   # (k,)
+    friction: np.ndarray      # (k,)
+    radius_bound: np.ndarray  # (k,) bounding-sphere radius (ground contact)
+
+
+def _compose(p1, q1, p2, q2):
+    """numpy compose of two transforms (compile time)."""
+    p = p1 + np.asarray(rot.quat_rotate(jnp.asarray(q1), jnp.asarray(p2)))
+    q = np.asarray(rot.quat_mul(jnp.asarray(q1), jnp.asarray(q2)))
+    return p.astype(np.float32), q.astype(np.float32)
+
+
 class Simulator:
     """Compiled simulator for one scene layout.
 
     The per-env step is written single-env and ``vmap``-ed; everything static
-    (trees, gains, geom tables) is a Python/numpy constant baked into the
-    trace — no dynamic shapes anywhere.
+    (trees, gains, geom tables) is a numpy constant baked into the trace.
     """
 
     def __init__(self, scene: CompiledScene):
@@ -53,9 +77,56 @@ class Simulator:
         self.dt = float(scene.spec.dt)
         self.substeps = int(scene.spec.substeps)
         self.bounce_threshold = float(scene.spec.bounce_threshold_velocity)
-        # vmapped entry points
+        self._build_geom_groups()
         self.step = jax.vmap(self._step_single, in_axes=(0, 0, 0))
         self.rigid_body_states = jax.vmap(self._rigid_body_states_single)
+
+    def _build_geom_groups(self) -> None:
+        scene = self.scene
+        # static geoms grouped by kind
+        static: Dict[int, List] = {}
+        for g in scene.static_geoms:
+            static.setdefault(g.kind, []).append(g)
+        self.static_groups: List[_GeomGroup] = []
+        for kind, gs in static.items():
+            self.static_groups.append(_GeomGroup(
+                kind=kind,
+                actor_index=np.asarray([g.actor_index for g in gs]),
+                link=np.full(len(gs), -1),
+                offset_pos=np.stack([g.local_pos for g in gs]).astype(np.float32),
+                offset_quat=np.stack([g.local_quat for g in gs]).astype(np.float32),
+                size=np.stack([g.size for g in gs]).astype(np.float32),
+                restitution=np.asarray([g.restitution for g in gs], np.float32),
+                friction=np.asarray([g.friction for g in gs], np.float32),
+                radius_bound=np.asarray([float(np.max(g.size)) for g in gs], np.float32),
+            ))
+        # articulation geoms grouped by (articulation, kind); offsets folded
+        # through the welded body_ref transform at compile time
+        self.art_groups: Dict[int, List[_GeomGroup]] = {}
+        per_art: Dict[int, Dict[int, List]] = {}
+        for g in scene.art_geoms:
+            per_art.setdefault(g.art_index, {}).setdefault(g.kind, []).append(g)
+        for art_idx, kinds in per_art.items():
+            slot = scene.articulations[art_idx]
+            tree = slot.model.tree
+            groups = []
+            for kind, gs in kinds.items():
+                offs = [_compose(tree.body_ref_pos[g.body_index], tree.body_ref_quat[g.body_index],
+                                 g.local_pos, g.local_quat) for g in gs]
+                groups.append(_GeomGroup(
+                    kind=kind,
+                    actor_index=np.asarray([slot.actor_index] * len(gs)),
+                    link=np.asarray([int(tree.body_ref_dof[g.body_index]) for g in gs]),
+                    offset_pos=np.stack([o[0] for o in offs]),
+                    offset_quat=np.stack([o[1] for o in offs]),
+                    size=np.stack([g.size for g in gs]).astype(np.float32),
+                    restitution=np.asarray([g.restitution for g in gs], np.float32),
+                    friction=np.asarray([g.friction for g in gs], np.float32),
+                    radius_bound=np.asarray(
+                        [float(g.size[0]) if g.kind == U.GEOM_SPHERE else float(np.max(g.size))
+                         for g in gs], np.float32),
+                ))
+            self.art_groups[art_idx] = groups
 
     # ------------------------------------------------------------------
     # state construction
@@ -82,53 +153,40 @@ class Simulator:
             state = self._substep(state, targets, efforts, dt_s)
         return state
 
-    def _articulation_state(self, state: SimState, slot: ArticulationSlot):
-        q = state.dof_pos[slot.dof_start:slot.dof_end]
-        qd = state.dof_vel[slot.dof_start:slot.dof_end]
-        ra = state.root[slot.actor_index]
-        base_pos, base_quat = ra[0:3], ra[3:7]
-        if slot.model.floating:
-            u = jnp.concatenate([ra[10:13], ra[7:10], qd])
-        else:
-            u = qd
-        return q, qd, base_pos, base_quat, u
-
     def _substep(self, state: SimState, targets, efforts, dt_s) -> SimState:
         scene = self.scene
         root = state.root
-        dof_pos = state.dof_pos
-        dof_vel = state.dof_vel
-        dof_force = state.dof_force
+        dof_pos, dof_vel, dof_force = state.dof_pos, state.dof_vel, state.dof_force
 
         # -- articulated dynamics + integration --------------------------------
-        art_runtime = []  # per articulation: (slot, q, u, chol, base_pos, base_quat)
+        art_runtime = []
         for slot in scene.articulations:
-            model = slot.model
-            tree = model.tree
-            q, qd, base_pos, base_quat, u = self._articulation_state(state, slot)
+            model, tree = slot.model, slot.model.tree
+            q = dof_pos[slot.dof_start:slot.dof_end]
+            qd = dof_vel[slot.dof_start:slot.dof_end]
+            ra = root[slot.actor_index]
+            base_pos, base_quat = ra[0:3], ra[3:7]
+            u = jnp.concatenate([ra[10:13], ra[7:10], qd]) if model.floating else qd
+
             tgt = targets[slot.dof_start:slot.dof_end]
             eff = efforts[slot.dof_start:slot.dof_end]
-            kp = jnp.asarray(slot.stiffness)
-            kd = jnp.asarray(slot.damping)
             if slot.drive_mode == DRIVE_POS:
-                tau = kp * (tgt - q) - kd * qd + eff
+                tau = jnp.asarray(slot.stiffness) * (tgt - q) - jnp.asarray(slot.damping) * qd + eff
             else:
                 tau = eff
             tau = jnp.clip(tau, -jnp.asarray(tree.effort), jnp.asarray(tree.effort))
             tau_gen = jnp.concatenate([jnp.zeros(6), tau]) if model.floating else tau
+
             udot, chol = D.forward_dynamics(model, base_pos, base_quat, q, u, tau_gen, self.gravity)
             u = u + dt_s * udot
-
             if model.floating:
                 omega, vel, qd_new = u[0:3], u[3:6], u[6:]
             else:
                 qd_new = u
 
-            # joint limits: clamp position, kill inward velocity at the stop
             q_new = q + dt_s * qd_new
             lo, hi = jnp.asarray(tree.lower), jnp.asarray(tree.upper)
-            at_lo = q_new < lo
-            at_hi = q_new > hi
+            at_lo, at_hi = q_new < lo, q_new > hi
             q_new = jnp.clip(q_new, lo, hi)
             qd_new = jnp.where(at_lo, jnp.maximum(qd_new, 0.0), qd_new)
             qd_new = jnp.where(at_hi, jnp.minimum(qd_new, 0.0), qd_new)
@@ -142,80 +200,51 @@ class Simulator:
                 u = qd_new
 
             dof_pos = dof_pos.at[slot.dof_start:slot.dof_end].set(q_new)
-            dof_vel = dof_vel.at[slot.dof_start:slot.dof_end].set(qd_new)
             dof_force = dof_force.at[slot.dof_start:slot.dof_end].set(tau)
+            frames = fk_dof_frames(tree, base_pos, base_quat, q_new)
             art_runtime.append({
                 "slot": slot, "q": q_new, "u": u, "chol": chol,
-                "base_pos": base_pos, "base_quat": base_quat,
-                # dof frames post-integration, shared by all geoms of this articulation
-                "frames": fk_dof_frames(model.tree, base_pos, base_quat, q_new),
+                "base_pos": base_pos, "base_quat": base_quat, "frames": frames,
             })
 
-        # -- free bodies: gravity, contacts, integration -----------------------
+        # -- free bodies (balls): gravity + contacts + integration -------------
         for ball in scene.free_bodies:
             ra = root[ball.actor_index]
             pos, vel = ra[0:3], ra[7:10]
             vel = vel + self.gravity * dt_s
 
-            # ground plane
             if scene.spec.plane is not None:
                 e, mu = C.combine_material(ball.restitution, scene.spec.plane.restitution,
                                            ball.friction, scene.spec.plane.dynamic_friction)
                 frame = C.sphere_plane(pos, ball.radius)
-                dv, _, active = C.resolve_sphere_impulse(vel, frame, jnp.zeros(3), e, mu, self.bounce_threshold)
+                dv, _, active = C.resolve_sphere_impulse(
+                    vel, frame, jnp.zeros(3), e, mu, self.bounce_threshold)
                 vel = vel + dv
                 pos = C.depenetrate(pos, frame, active)
 
-            # static geoms (table top, net)
-            for g in scene.static_geoms:
-                ga = root[g.actor_index]
-                gpos = ga[0:3] + rot.quat_rotate(ga[3:7], jnp.asarray(g.local_pos))
-                gquat = rot.quat_mul(ga[3:7], jnp.asarray(g.local_quat))
-                frame = self._sphere_vs_geom(pos, ball.radius, g.kind, gpos, gquat, g.size)
-                e, mu = C.combine_material(ball.restitution, g.restitution, ball.friction, g.friction)
-                dv, _, active = C.resolve_sphere_impulse(vel, frame, jnp.zeros(3), e, mu, self.bounce_threshold)
-                vel = vel + dv
-                pos = C.depenetrate(pos, frame, active)
+            for grp in self.static_groups:
+                pos, vel = self._ball_vs_static_group(root, grp, ball, pos, vel)
 
-            # articulated geoms (paddle, hands, torso...) with two-body coupling
-            for g in scene.art_geoms:
-                rt = art_runtime[g.art_index]
-                slot = rt["slot"]
-                model = slot.model
-                tree = model.tree
-                fp, fq = rt["frames"]
-                d = int(tree.body_ref_dof[g.body_index])
-                if d < 0:
-                    bq = rt["base_quat"]
-                    bp = rt["base_pos"]
-                else:
-                    bp, bq = fp[d], fq[d]
-                off_p = jnp.asarray(tree.body_ref_pos[g.body_index]) + rot.quat_rotate(
-                    jnp.asarray(tree.body_ref_quat[g.body_index]), jnp.asarray(g.local_pos))
-                gpos = bp + rot.quat_rotate(bq, off_p)
-                gquat = rot.quat_mul(bq, rot.quat_mul(
-                    jnp.asarray(tree.body_ref_quat[g.body_index]), jnp.asarray(g.local_quat)))
-                frame = self._sphere_vs_geom(pos, ball.radius, g.kind, gpos, gquat, g.size)
-                e, mu = C.combine_material(ball.restitution, g.restitution, ball.friction, g.friction)
-                vel, du = self._two_body_impulse(
-                    model, rt, frame, vel, 1.0 / ball.mass, e, mu,
-                    link=d, point=frame.point)
-                rt["u"] = rt["u"] + du
-                pos = C.depenetrate(pos, frame, jnp.asarray(True))
+            for art_idx, groups in self.art_groups.items():
+                rt = art_runtime[art_idx]
+                for grp in groups:
+                    pos, vel, du = self._ball_vs_art_group(rt, grp, ball, pos, vel)
+                    rt["u"] = rt["u"] + du
 
             pos = pos + dt_s * vel
             root = root.at[ball.actor_index, 0:3].set(pos)
             root = root.at[ball.actor_index, 7:10].set(vel)
 
-        # -- articulation vs ground (floating-base feet) -----------------------
-        for g in scene.art_geoms:
-            rt = art_runtime[g.art_index]
-            slot = rt["slot"]
-            if not slot.model.floating or scene.spec.plane is None:
-                continue
-            rt["u"] = self._art_ground_impulse(rt, g, dt_s)
+        # -- floating articulations vs ground (feet etc.) ----------------------
+        if scene.spec.plane is not None:
+            for art_idx, groups in self.art_groups.items():
+                rt = art_runtime[art_idx]
+                if not rt["slot"].model.floating:
+                    continue
+                for grp in groups:
+                    rt["u"] = rt["u"] + self._art_vs_ground_group(rt, grp, dt_s)
 
-        # write back articulation velocity updates from contact reactions
+        # -- write back articulation state -------------------------------------
         for rt in art_runtime:
             slot = rt["slot"]
             u = rt["u"]
@@ -231,84 +260,115 @@ class Simulator:
         return SimState(root=root, dof_pos=dof_pos, dof_vel=dof_vel, dof_force=dof_force)
 
     # ------------------------------------------------------------------
-    # contact helpers
+    # contact helpers (vectorized over geom groups)
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _sphere_vs_geom(pos, radius, kind, gpos, gquat, size) -> C.ContactFrame:
-        size = np.asarray(size)
+    def _frames_for_group(self, kind, pos, radius, gpos, gquat, size) -> C.ContactFrame:
+        """Sphere-vs-K-geoms of one kind; vectorized over the group axis."""
         if kind == U.GEOM_BOX:
-            return C.sphere_box(pos, radius, gpos, gquat, jnp.asarray(size))
+            fn = lambda gp, gq, s: C.sphere_box(pos, radius, gp, gq, s)
+            return jax.vmap(fn)(gpos, gquat, jnp.asarray(size))
         if kind == U.GEOM_CYLINDER:
-            return C.sphere_cylinder(pos, radius, gpos, gquat, float(size[0]), float(size[1]))
+            fn = lambda gp, gq, s: C.sphere_cylinder(pos, radius, gp, gq, s[0], s[1])
+            return jax.vmap(fn)(gpos, gquat, jnp.asarray(size))
         if kind == U.GEOM_SPHERE:
-            return C.sphere_sphere(pos, radius, gpos, float(size[0]))
+            fn = lambda gp, s: C.sphere_sphere(pos, radius, gp, s[0])
+            return jax.vmap(fn)(gpos, jnp.asarray(size))
         raise NotImplementedError(kind)
 
-    def _two_body_impulse(self, model, rt, frame, v_ball, inv_m_ball, e, mu, link, point):
-        """Ball <-> articulated-link impulse with joint-space effective mass.
+    def _ball_vs_static_group(self, root, grp: _GeomGroup, ball, pos, vel):
+        roots = root[jnp.asarray(grp.actor_index)]                # (k,13)
+        gpos = roots[:, 0:3] + rot.quat_rotate(roots[:, 3:7], jnp.asarray(grp.offset_pos))
+        gquat = rot.quat_mul(roots[:, 3:7], jnp.asarray(grp.offset_quat))
+        frame = self._frames_for_group(grp.kind, pos, ball.radius, gpos, gquat, grp.size)
+        e, mu = C.combine_material(ball.restitution, jnp.asarray(grp.restitution),
+                                   ball.friction, jnp.asarray(grp.friction))
+        dv, _, active = C.resolve_sphere_impulse(
+            vel[None], frame, jnp.zeros_like(gpos), e, mu, self.bounce_threshold)
+        vel = vel + dv.sum(axis=0)
+        push = jnp.where(active[:, None], frame.normal * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
+        return pos + push.sum(axis=0), vel
 
-        Returns (new ball velocity, Δu for the articulation).
-        """
-        slot = rt["slot"]
-        J = D.point_jacobian(model, rt["base_pos"], rt["base_quat"], rt["q"], link, point)  # (3,nv)
-        chol = rt["chol"]
-        MinvJT = jax.scipy.linalg.cho_solve((chol, True), J.T)     # (nv,3)
-        v_point = J @ rt["u"]
-        n = frame.normal
-        v_rel = v_ball - v_point
-        vn = jnp.dot(v_rel, n)
-        active = (frame.dist < 0.0) & (vn < 0.0)
-        e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
-        w_n = inv_m_ball + n @ (J @ (MinvJT @ n))
-        Pn = jnp.where(active, -(1.0 + e_eff) * vn / jnp.maximum(w_n, 1e-9), 0.0)
-        vt = v_rel - vn * n
-        vt_norm = jnp.linalg.norm(vt)
-        t_hat = vt / jnp.maximum(vt_norm, 1e-9)
-        w_t = inv_m_ball + t_hat @ (J @ (MinvJT @ t_hat))
-        Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
-        P = Pn * n - Pt * t_hat
-        v_ball_new = v_ball + P * inv_m_ball
-        du = -(MinvJT @ P)
-        return v_ball_new, du
-
-    def _art_ground_impulse(self, rt, g, dt_s):
-        """Floating-base articulation geom vs ground plane (feet contact)."""
-        slot = rt["slot"]
-        model = slot.model
-        tree = model.tree
+    def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel):
+        """Ball vs one kind-group of articulated geoms, with joint-space
+        two-body impulses. Returns (pos, vel, Δu)."""
+        model = rt["slot"].model
         fp, fq = rt["frames"]
-        d = int(tree.body_ref_dof[g.body_index])
-        if d < 0:
-            bp, bq = rt["base_pos"], rt["base_quat"]
-        else:
-            bp, bq = fp[d], fq[d]
-        off_p = jnp.asarray(tree.body_ref_pos[g.body_index]) + rot.quat_rotate(
-            jnp.asarray(tree.body_ref_quat[g.body_index]), jnp.asarray(g.local_pos))
-        gpos = bp + rot.quat_rotate(bq, off_p)
-        # approximate geom by its bounding sphere for ground contact
-        size = np.asarray(g.size)
-        radius = float(np.max(size)) if g.kind != U.GEOM_SPHERE else float(size[0])
-        frame = C.sphere_plane(gpos, radius)
-        J = D.point_jacobian(model, rt["base_pos"], rt["base_quat"], rt["q"], d, frame.point)
-        MinvJT = jax.scipy.linalg.cho_solve((rt["chol"], True), J.T)
-        v_point = J @ rt["u"]
+        nd = model.tree.n_dof
+        pos_ext = jnp.concatenate([fp, rt["base_pos"][None]], axis=0)
+        quat_ext = jnp.concatenate([fq, rt["base_quat"][None]], axis=0)
+        ref = jnp.asarray(np.where(grp.link < 0, nd, grp.link))
+        bp, bq = pos_ext[ref], quat_ext[ref]
+        gpos = bp + rot.quat_rotate(bq, jnp.asarray(grp.offset_pos))
+        gquat = rot.quat_mul(bq, jnp.asarray(grp.offset_quat))
+        frame = self._frames_for_group(grp.kind, pos, ball.radius, gpos, gquat, grp.size)
+
+        J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, frame.point)  # (k,3,nv)
+        nv = J.shape[-1]
+        k = J.shape[0]
+        MinvJT = jax.scipy.linalg.cho_solve(
+            (rt["chol"], True), J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)  # (k,3,nv) rows of M^-1 J^T
+        v_point = jnp.einsum("kav,v->ka", J, rt["u"])
+
         n = frame.normal
-        vn = jnp.dot(v_point, n)
-        active = (frame.dist < 0.0) & (vn < 0.1)
-        # Baumgarte bias pushes penetration out over a few substeps
-        bias = 0.2 / dt_s * jnp.maximum(-frame.dist - 0.005, 0.0)
-        w_n = n @ (J @ (MinvJT @ n))
+        v_rel = vel[None] - v_point
+        vn = jnp.sum(v_rel * n, axis=-1)
+        active = (frame.dist < 0.0) & (vn < 0.0)
+        e, mu = C.combine_material(ball.restitution, jnp.asarray(grp.restitution),
+                                   ball.friction, jnp.asarray(grp.friction))
+        e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
+        inv_m = 1.0 / ball.mass
+        w_n = inv_m + jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)
+        Pn = jnp.where(active, -(1.0 + e_eff) * vn / jnp.maximum(w_n, 1e-9), 0.0)
+        vt = v_rel - vn[:, None] * n
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        t_hat = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
+        w_t = inv_m + jnp.einsum("ka,kav,kbv,kb->k", t_hat, J, MinvJT, t_hat)
+        Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
+        P = Pn[:, None] * n - Pt[:, None] * t_hat                 # (k,3)
+
+        vel = vel + P.sum(axis=0) * inv_m
+        du = -jnp.einsum("kav,ka->v", MinvJT, P)
+        push = jnp.where(active[:, None], n * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
+        return pos + push.sum(axis=0), vel, du
+
+    def _art_vs_ground_group(self, rt, grp: _GeomGroup, dt_s):
+        """Articulation geoms (bounding spheres) vs ground plane; Baumgarte-
+        stabilized impulses into the generalized velocity (feet contact)."""
+        model = rt["slot"].model
+        fp, fq = rt["frames"]
+        nd = model.tree.n_dof
+        pos_ext = jnp.concatenate([fp, rt["base_pos"][None]], axis=0)
+        quat_ext = jnp.concatenate([fq, rt["base_quat"][None]], axis=0)
+        ref = jnp.asarray(np.where(grp.link < 0, nd, grp.link))
+        bp, bq = pos_ext[ref], quat_ext[ref]
+        centers = bp + rot.quat_rotate(bq, jnp.asarray(grp.offset_pos))
+        radius = jnp.asarray(grp.radius_bound)
+        dist = centers[:, 2] - radius
+        n = jnp.zeros_like(centers).at[:, 2].set(1.0)
+        points = centers - n * radius[:, None]
+
+        J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, points)
+        nv = J.shape[-1]
+        k = J.shape[0]
+        MinvJT = jax.scipy.linalg.cho_solve(
+            (rt["chol"], True), J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)
+        v_point = jnp.einsum("kav,v->ka", J, rt["u"])
+        vn = v_point[:, 2]
+        active = (dist < 0.0) & (vn < 0.1)
+        bias = 0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0)
         plane = self.scene.spec.plane
         e, mu = C.combine_material(0.0, plane.restitution, 0.8, plane.dynamic_friction)
-        Pn = jnp.where(active, (-(1.0 + e) * jnp.minimum(vn, 0.0) + bias) / jnp.maximum(w_n, 1e-9), 0.0)
-        vt = v_point - vn * n
-        vt_norm = jnp.linalg.norm(vt)
-        t_hat = vt / jnp.maximum(vt_norm, 1e-9)
-        w_t = t_hat @ (J @ (MinvJT @ t_hat))
+        w_n = jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)
+        Pn = jnp.where(active,
+                       (-(1.0 + e) * jnp.minimum(vn, 0.0) + bias) / jnp.maximum(w_n, 1e-9), 0.0)
+        vt = v_point - vn[:, None] * n
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        t_hat = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
+        w_t = jnp.einsum("ka,kav,kbv,kb->k", t_hat, J, MinvJT, t_hat)
         Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
-        P = Pn * n - Pt * t_hat
-        return rt["u"] + MinvJT @ P
+        P = Pn[:, None] * n - Pt[:, None] * t_hat
+        return jnp.einsum("kav,ka->v", MinvJT, P)
 
     # ------------------------------------------------------------------
     # state reporting (tensor-API parity, N2)
@@ -317,15 +377,13 @@ class Simulator:
     def _rigid_body_states_single(self, state: SimState) -> jnp.ndarray:
         """(num_bodies, 13) rigid-body state tensor in reference layout."""
         scene = self.scene
+        art_by_actor = {s.actor_index: s for s in scene.articulations}
         parts = []
-        cursor = 0
-        art_by_body = {slot.body_start: slot for slot in scene.articulations}
-        free_by_body = {fb.body_start: fb for fb in scene.free_bodies}
         for ai, actor in enumerate(scene.spec.actors):
             nb = actor.tree.n_bodies
             ra = state.root[ai]
-            if actor.tree.n_dof > 0:
-                slot = next(s for s in scene.articulations if s.actor_index == ai)
+            slot = art_by_actor.get(ai)
+            if slot is not None:
                 q = state.dof_pos[slot.dof_start:slot.dof_end]
                 qd = state.dof_vel[slot.dof_start:slot.dof_end]
                 if slot.model.floating:
@@ -335,6 +393,5 @@ class Simulator:
                     states = fk_body_states(actor.tree, ra[0:3], ra[3:7], q, qd)
                 parts.append(states)
             else:
-                parts.append(ra[None, :].repeat(nb, axis=0) if nb > 1 else ra[None, :])
-            cursor += nb
+                parts.append(jnp.broadcast_to(ra, (nb, 13)))
         return jnp.concatenate(parts, axis=0)

@@ -1,0 +1,133 @@
+"""Shared observation builders + scene helpers for the pingpong family.
+
+Pure single-env jnp ports of the reference TorchScript obs functions
+(compute_humanoid_observations / compute_pingpong_observations at
+/root/reference/tasks/humanoid_pingpong_3_actor_tilt_no_earlystop.py:1748-1816)
+and the common 3-actor scene construction (create_sim/_create_envs,
+SURVEY.md §3.1). All functions take unbatched arrays; the env base vmaps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from isaacgym_tpu.models import kinematics as K
+from isaacgym_tpu.models.assets import generate
+from isaacgym_tpu.sim.scene import ActorSpec, PlaneParams, SceneSpec, DRIVE_POS
+from isaacgym_tpu.utils import rotations as rot
+
+ASSET_DIR = generate.ASSET_DIR
+
+_tree_cache = {}
+
+
+def load_tree(filename: str, floating_base: bool = False) -> K.KinematicTree:
+    key = (filename, floating_base)
+    if key not in _tree_cache:
+        path = os.path.join(ASSET_DIR, filename)
+        if not os.path.exists(path):
+            generate.generate_all()
+        _tree_cache[key] = K.load_asset(path, floating_base=floating_base)
+    return _tree_cache[key]
+
+
+def quat_from_yaw_deg(deg: float):
+    half = np.radians(deg) / 2.0
+    return (0.0, 0.0, float(np.sin(half)), float(np.cos(half)))
+
+
+def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) -> SceneSpec:
+    """The 3-actor (or 4-actor) scene: humanoid(s) + table + ball.
+
+    Mirrors the reference per-env create_actor loop
+    (/root/reference/tasks/humanoid_pingpong_3_actor_tilt_no_earlystop.py:517-649)
+    as a static declaration.
+    """
+    sc = env_cfg["scene"]
+    g1 = load_tree(env_cfg["asset"]["assetFileName"], floating_base=floating_base)
+    table = load_tree("pingpong_table.urdf")
+    ball = load_tree("small_ball.urdf")
+    kp = np.asarray(sc["pdGains"], np.float32)
+    kd = kp / 40.0
+
+    actors = []
+    for h in range(humanoids):
+        pos = sc["humanoidPos"] if h == 0 else sc["humanoid2Pos"]
+        yaw = sc.get("humanoidYawDeg", 0.0) if h == 0 else sc.get("humanoid2YawDeg", 180.0)
+        actors.append(ActorSpec(
+            name=f"humanoid{h + 1}", tree=g1, pos=tuple(pos),
+            quat=quat_from_yaw_deg(yaw),
+            fixed_base=not floating_base,
+            restitution=sc["humanoidRestitution"], friction=sc["humanoidFriction"],
+            drive_mode=DRIVE_POS, stiffness=kp, damping=kd,
+        ))
+    actors.append(ActorSpec(
+        name="pingpong_table", tree=table, pos=tuple(sc["tablePos"]),
+        fixed_base=True, restitution=sc["tableRestitution"], friction=sc["tableFriction"],
+    ))
+    actors.append(ActorSpec(
+        name="pingpong_ball_2", tree=ball, pos=tuple(sc["ballStartPos"]),
+        fixed_base=False, restitution=sc["ballRestitution"], friction=sc["ballFriction"],
+    ))
+    plane_cfg = env_cfg.get("plane", {})
+    return SceneSpec(
+        actors=actors,
+        plane=PlaneParams(
+            static_friction=plane_cfg.get("staticFriction", 1.0),
+            dynamic_friction=plane_cfg.get("dynamicFriction", 1.0),
+            restitution=plane_cfg.get("restitution", 0.0),
+        ),
+        gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+        dt=float(sim_cfg["dt"]),
+        substeps=int(sim_cfg["substeps"]),
+        bounce_threshold_velocity=float(
+            sim_cfg.get("physx", {}).get("bounce_threshold_velocity", 0.2)),
+    )
+
+
+def sample_ball_velocity(key, speed_range, tilt_range_deg, tilt_z_range_deg):
+    """Batched-RNG replacement for the reference's per-env host loop
+    (generate_random_speed_for_ball, .../no_earlystop.py:301-328):
+    v = (-s·cosα·cosβ, s·sinα·cosβ, s·sinβ), α=tilt, β=tilt_z."""
+    import jax
+    k1, k2, k3 = jax.random.split(key, 3)
+    s = jax.random.uniform(k1, (), minval=speed_range[0], maxval=speed_range[1])
+    a = jnp.radians(jax.random.uniform(k2, (), minval=tilt_range_deg[0], maxval=tilt_range_deg[1]))
+    b = jnp.radians(jax.random.uniform(k3, (), minval=tilt_z_range_deg[0], maxval=tilt_z_range_deg[1]))
+    return jnp.stack([
+        -s * jnp.cos(a) * jnp.cos(b),
+        s * jnp.sin(a) * jnp.cos(b),
+        s * jnp.sin(b),
+    ])
+
+
+def compute_humanoid_observations(body_states, body_ids, dof_pos, dof_vel):
+    """Heading-local body pos/vel + dof state, reference layout
+    (.../no_earlystop.py:1777-1816): [local_body_pos (J*3), local_body_vel
+    (J*3), dof_pos, dof_vel*0.1]."""
+    body_pos = body_states[body_ids, 0:3]
+    body_rot = body_states[body_ids, 3:7]
+    body_vel = body_states[body_ids, 7:10]
+    root_pos = body_pos[0]
+    root_rot = body_rot[0]
+    heading_inv = rot.calc_heading_quat_inv(root_rot)
+    local_pos = rot.quat_rotate(heading_inv, body_pos - root_pos)
+    local_vel = rot.quat_rotate(heading_inv, body_vel)
+    return jnp.concatenate([
+        local_pos.reshape(-1), local_vel.reshape(-1), dof_pos, dof_vel * 0.1,
+    ])
+
+
+def compute_pingpong_observations(body_states, body_ids, ball_root):
+    """Heading-local ball position/velocity relative to the root body
+    (.../no_earlystop.py:1748-1774)."""
+    root_pos = body_states[body_ids[0], 0:3]
+    root_rot = body_states[body_ids[0], 3:7]
+    heading_inv = rot.calc_heading_quat_inv(root_rot)
+    local_pos = rot.quat_rotate(heading_inv, ball_root[0:3] - root_pos)
+    local_vel = rot.quat_rotate(heading_inv, ball_root[7:10])
+    return jnp.concatenate([local_pos, local_vel])

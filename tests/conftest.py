@@ -17,3 +17,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: the fused env step is a large graph; caching
+# makes repeat test runs start in seconds instead of minutes
+jax.config.update("jax_compilation_cache_dir", "/tmp/isaacgym_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
