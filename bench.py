@@ -1,0 +1,73 @@
+"""Benchmark: env-steps/s on the flagship pingpong env at 4096 envs.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N/1e6}
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the
+Isaac Gym paper reports O(1e5-1e6) env-steps/s/GPU for humanoid-class tasks
+on A100; the build target is >= 1M env-steps/s per host at 4096 envs.
+``vs_baseline`` is therefore value / 1e6 (the north-star target).
+
+The measured step is the FULL fused env step: PD control + articulated
+dynamics + 2 substeps of contacts + reward + auto-reset + 80-dim obs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+NUM_ENVS = 4096
+CHUNK = 100          # env steps per timed device call (scan inside jit)
+REPEATS = 5
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/isaacgym_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    import numpy as np
+    import isaacgym_tpu
+
+    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else NUM_ENVS
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNoEarlyStopG1",
+                            num_envs=num_envs)
+    state, obs = env.reset()
+    step = env.step_fn
+
+    def roll(state, actions):
+        def body(s, _):
+            s, _obs, _rew, _done, _info = step(s, actions)
+            return s, None
+        state, _ = jax.lax.scan(body, state, None, length=CHUNK)
+        return state
+
+    roll_jit = jax.jit(roll, donate_argnums=(0,))
+    actions = jnp.zeros((num_envs, env.num_actions))
+
+    # warmup/compile
+    state = roll_jit(state, actions)
+    jax.block_until_ready(state)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state = roll_jit(state, actions)
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    steps_per_s = num_envs * CHUNK / best
+    print(json.dumps({
+        "metric": f"env_steps_per_s_{num_envs}envs_humanoid_pingpong",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / 1e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

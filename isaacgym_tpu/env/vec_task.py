@@ -63,6 +63,12 @@ class TpuVecTask:
         self._pd_action_offset = jnp.asarray(0.5 * (hi + lo), dtype=jnp.float32)
         self._pd_action_scale = jnp.asarray(0.5 * (hi - lo), dtype=jnp.float32)
 
+        # body-state subset: tasks declare which env-level bodies obs/reward
+        # touch; computing just those avoids full 40-body FK reporting
+        ids = self.rb_body_ids()
+        self._rb_fn = (self.sim.rigid_body_states if ids is None
+                       else self.sim.make_body_state_fn(ids))
+
         self._step_fn = jax.jit(self._step_impl, donate_argnums=(0,))
         self._reset_fn = jax.jit(self._initial_env_state)
 
@@ -76,6 +82,11 @@ class TpuVecTask:
     def init_flags(self) -> Dict[str, jnp.ndarray]:
         """Scalar (unbatched) initial one-shot flag values."""
         return {}
+
+    def rb_body_ids(self):
+        """Env-level body indices the task's obs/reward functions read, or
+        None for all bodies. Rows of ``rb_states`` follow this order."""
+        return None
 
     def reset_sim_single(self, key, sim: SimState) -> SimState:
         """Reset one env's sim state (root states, ball velocity, ...)."""
@@ -138,7 +149,7 @@ class TpuVecTask:
             flags=flags,
             pre_ball_root=sim1.root[:, self.ball_actor, :],
         )
-        rb = self.sim.rigid_body_states(sim1)
+        rb = self._rb_fn(sim1)
         obs = jax.vmap(self.observe_single)(sim1, rb, flags)
         return state, obs
 
@@ -151,7 +162,7 @@ class TpuVecTask:
         sim = self.sim.step(state.sim, targets, efforts)
         progress = state.progress + 1
 
-        rb = self.sim.rigid_body_states(sim)
+        rb = self._rb_fn(sim)
         rew, reset, flags = jax.vmap(self.reward_single)(
             pre_ball, sim, rb, state.flags, progress)
 
@@ -174,7 +185,7 @@ class TpuVecTask:
         init_flags = self.init_flags()
         flags = {k: jnp.where(do, init_flags[k], v) for k, v in flags.items()}
 
-        rb = self.sim.rigid_body_states(sim)
+        rb = self._rb_fn(sim)
         obs = jax.vmap(self.observe_single)(sim, rb, flags)
 
         new_state = EnvState(sim=sim, progress=progress, rng=rng, flags=flags,

@@ -315,13 +315,28 @@ def load_asset(path: str, floating_base: bool = False) -> KinematicTree:
 # Batched forward kinematics (pure jnp; call under jit/vmap)
 # ---------------------------------------------------------------------------
 
+_FK_UNROLL_MAX = 12
+
+
+def _unroll_fk(nd: int) -> bool:
+    """Unrolled FK (static parents, zero gathers) is runtime-optimal on TPU;
+    the scan form compiles ~10x faster on CPU where XLA:CPU compile time is
+    the bottleneck (tests, debug). Chosen per backend at trace time."""
+    import jax
+    if nd > _FK_UNROLL_MAX:
+        return False
+    return jax.default_backend() != "cpu"
+
+
 def fk_dof_frames(tree: KinematicTree, base_pos, base_quat, q):
     """World pose of every DOF child frame (single env; vmap for batches).
 
-    TPU-first: one ``lax.scan`` over the topologically-ordered DOFs with a
-    dynamic parent gather — the loop body compiles ONCE instead of unrolling
-    per joint (compile-time and code-size win; the chain is sequential
-    either way).
+    Two lowering strategies:
+      * nd <= _FK_UNROLL_MAX: fully unrolled chain with STATIC parent
+        indices — zero gathers, fuses into few TPU kernels (runtime-optimal
+        for the 7-DOF arm).
+      * larger trees: one ``lax.scan`` with a dynamic parent gather — the
+        loop body compiles once (compile-time-optimal for 27+ DOF).
 
     Args:
       base_pos: (3,) base world position;  base_quat: (4,);  q: (nd,).
@@ -335,6 +350,23 @@ def fk_dof_frames(tree: KinematicTree, base_pos, base_quat, q):
             base_pos, base_quat, q)
 
     nd = tree.n_dof
+    if _unroll_fk(nd):
+        poses_p, poses_q = [], []
+        for d in range(nd):
+            pd = int(tree.dof_parent[d])
+            pp, pq = (base_pos, base_quat) if pd < 0 else (poses_p[pd], poses_q[pd])
+            jp = pp + rot.quat_rotate(pq, jnp.asarray(tree.dof_pre_pos[d]))
+            jq = rot.quat_mul(pq, jnp.asarray(tree.dof_pre_quat[d]))
+            if tree.dof_type[d] == U.JOINT_REVOLUTE:
+                rq = rot.quat_from_angle_axis(q[d], jnp.asarray(tree.dof_axis[d]))
+                bq_ = rot.quat_mul(jq, rq)
+                bp_ = jp
+            else:
+                bp_ = jp + rot.quat_rotate(jq, jnp.asarray(tree.dof_axis[d]) * q[d])
+                bq_ = jq
+            poses_p.append(bp_)
+            poses_q.append(bq_)
+        return jnp.stack(poses_p), jnp.stack(poses_q)
     parent = jnp.asarray(np.where(tree.dof_parent < 0, nd, tree.dof_parent))
     pre_pos = jnp.asarray(tree.dof_pre_pos)
     pre_quat = jnp.asarray(tree.dof_pre_quat)
@@ -368,6 +400,22 @@ def fk_dof_velocities(tree: KinematicTree, dof_pos_w, dof_quat_w, qd,
     import jax
 
     nd = tree.n_dof
+    if _unroll_fk(nd):
+        ws, vs = [], []
+        for d in range(nd):
+            pd = int(tree.dof_parent[d])
+            w_p, v_p, p_p = ((base_angvel, base_linvel, base_pos) if pd < 0
+                             else (ws[pd], vs[pd], dof_pos_w[pd]))
+            axis_w = rot.quat_rotate(dof_quat_w[d], jnp.asarray(tree.dof_axis[d]))
+            v_here = v_p + jnp.cross(w_p, dof_pos_w[d] - p_p)
+            if tree.dof_type[d] == U.JOINT_REVOLUTE:
+                ws.append(w_p + axis_w * qd[d])
+                vs.append(v_here)
+            else:
+                ws.append(w_p)
+                vs.append(v_here + axis_w * qd[d])
+        return jnp.stack(ws), jnp.stack(vs)
+
     parent = jnp.asarray(np.where(tree.dof_parent < 0, nd, tree.dof_parent))
     axis = jnp.asarray(tree.dof_axis)
     is_rev = jnp.asarray((tree.dof_type == U.JOINT_REVOLUTE).astype(np.float32))
@@ -392,13 +440,16 @@ def fk_dof_velocities(tree: KinematicTree, dof_pos_w, dof_quat_w, qd,
 
 
 def fk_body_states(tree: KinematicTree, base_pos, base_quat, q, qd,
-                   base_linvel=None, base_angvel=None, frames=None):
-    """Full rigid-body state tensor for all bodies: (nb, 13) with the
-    reference layout pos(3)+quat(4,xyzw)+linvel(3)+angvel(3) (SURVEY.md §1 L1).
+                   base_linvel=None, base_angvel=None, frames=None,
+                   body_ids=None):
+    """Rigid-body state tensor: (nb, 13) with the reference layout
+    pos(3)+quat(4,xyzw)+linvel(3)+angvel(3) (SURVEY.md §1 L1).
 
     Single env (vmap for batches). Body assembly is fully vectorized — one
     gather over the DOF frame buffers + batched quaternion math over all
-    bodies at once. ``frames`` lets callers reuse precomputed dof frames.
+    bodies at once. ``frames`` lets callers reuse precomputed dof frames;
+    ``body_ids`` (static numpy) restricts output to a subset of bodies (the
+    tasks' obs/reward only touch ~10 of 40 bodies — a large per-step saving).
     """
     import jax
 
@@ -407,7 +458,8 @@ def fk_body_states(tree: KinematicTree, base_pos, base_quat, q, qd,
             base_linvel = jnp.zeros(q.shape[:-1] + (3,))
         if base_angvel is None:
             base_angvel = jnp.zeros(q.shape[:-1] + (3,))
-        return jax.vmap(lambda a, b, c, d, e, f: fk_body_states(tree, a, b, c, d, e, f))(
+        return jax.vmap(lambda a, b, c, d, e, f: fk_body_states(
+            tree, a, b, c, d, e, f, body_ids=body_ids))(
             base_pos, base_quat, q, qd, base_linvel, base_angvel)
 
     if base_linvel is None:
@@ -429,13 +481,22 @@ def fk_body_states(tree: KinematicTree, base_pos, base_quat, q, qd,
     w_ext = jnp.concatenate([omega, base_angvel[None]], axis=0)
     v_ext = jnp.concatenate([vel, base_linvel[None]], axis=0)
 
-    ref = jnp.asarray(np.where(tree.body_ref_dof < 0, nd, tree.body_ref_dof))
+    body_ref_dof = tree.body_ref_dof
+    body_ref_pos = tree.body_ref_pos
+    body_ref_quat = tree.body_ref_quat
+    if body_ids is not None:
+        body_ids = np.asarray(body_ids)
+        body_ref_dof = body_ref_dof[body_ids]
+        body_ref_pos = body_ref_pos[body_ids]
+        body_ref_quat = body_ref_quat[body_ids]
+
+    ref = jnp.asarray(np.where(body_ref_dof < 0, nd, body_ref_dof))
     rp = pos_ext[ref]           # (nb,3)
     rq = quat_ext[ref]
     rw = w_ext[ref]
     rv = v_ext[ref]
-    off_p = jnp.asarray(tree.body_ref_pos)
-    off_q = jnp.asarray(tree.body_ref_quat)
+    off_p = jnp.asarray(body_ref_pos)
+    off_q = jnp.asarray(body_ref_quat)
     bp = rp + rot.quat_rotate(rq, off_p)
     bq = rot.quat_mul(rq, off_q)
     bv = rv + jnp.cross(rw, bp - rp)

@@ -1,0 +1,53 @@
+"""Deterministic play/eval — the rl_games player capability
+(reference §3.4: ``runner.run({'play': True, 'checkpoint': ...})``,
+/root/reference/train.py:210-214, command at pingpong_note.txt:165).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from isaacgym_tpu.rl import normalizer as N
+
+
+def play(env, trainer, train_state, episodes: int = 4, sigma: Optional[float] = None):
+    """Run deterministic (or σ-override) episodes; returns aggregate stats."""
+    ts = train_state
+
+    @jax.jit
+    def policy_step(env_state, obs, key):
+        mu, log_sig, _ = trainer._policy(ts.params, ts.obs_stats, obs)
+        if sigma is None:
+            action = mu
+        else:
+            action = mu + sigma * jax.random.normal(key, mu.shape)
+        return env.step_fn(env_state, action)
+
+    env_state, obs = env.reset()
+    B = env.num_envs
+    key = jax.random.PRNGKey(0)
+    ep_returns = np.zeros(B)
+    done_returns = []
+    hits = 0
+    steps = 0
+    while len(done_returns) < episodes * B and steps < env.max_episode_length * (episodes + 1):
+        key, k = jax.random.split(key)
+        env_state, obs, rew, done, info = policy_step(env_state, obs, k)
+        ep_returns += np.asarray(rew)
+        steps += 1
+        d = np.asarray(done)
+        if d.any():
+            done_returns.extend(ep_returns[d].tolist())
+            ep_returns[d] = 0.0
+        hits += int(np.asarray(env_state.flags.get(
+            "paddle_condition_calculated", jnp.zeros(B, bool))).sum())
+    return {
+        "episodes": len(done_returns),
+        "return_mean": float(np.mean(done_returns)) if done_returns else 0.0,
+        "return_std": float(np.std(done_returns)) if done_returns else 0.0,
+        "steps": steps,
+    }

@@ -32,6 +32,7 @@ from isaacgym_tpu.models.kinematics import (
 )
 from isaacgym_tpu.ops import contacts as C
 from isaacgym_tpu.ops import dynamics as D
+from isaacgym_tpu.ops import linalg as L
 from isaacgym_tpu.sim.scene import DRIVE_POS, ArticulationSlot, CompiledScene
 from isaacgym_tpu.utils import rotations as rot
 
@@ -306,8 +307,7 @@ class Simulator:
         J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, frame.point)  # (k,3,nv)
         nv = J.shape[-1]
         k = J.shape[0]
-        MinvJT = jax.scipy.linalg.cho_solve(
-            (rt["chol"], True), J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)  # (k,3,nv) rows of M^-1 J^T
+        MinvJT = L.chol_solve(rt["chol"], J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)  # (k,3,nv) rows of M^-1 J^T
         v_point = jnp.einsum("kav,v->ka", J, rt["u"])
 
         n = frame.normal
@@ -351,8 +351,7 @@ class Simulator:
         J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, points)
         nv = J.shape[-1]
         k = J.shape[0]
-        MinvJT = jax.scipy.linalg.cho_solve(
-            (rt["chol"], True), J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)
+        MinvJT = L.chol_solve(rt["chol"], J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)
         v_point = jnp.einsum("kav,v->ka", J, rt["u"])
         vn = v_point[:, 2]
         active = (dist < 0.0) & (vn < 0.1)
@@ -373,6 +372,45 @@ class Simulator:
     # ------------------------------------------------------------------
     # state reporting (tensor-API parity, N2)
     # ------------------------------------------------------------------
+
+    def make_body_state_fn(self, body_ids):
+        """Compile a vmapped ``state -> (B, len(body_ids), 13)`` computing only
+        the requested env-level body indices (tasks touch ~10 of 42 bodies;
+        computing just those saves most of the FK reporting cost)."""
+        scene = self.scene
+        body_ids = np.asarray(body_ids)
+        art_by_actor = {s.actor_index: s for s in scene.articulations}
+        pieces = []
+        cursor = 0
+        for ai, actor in enumerate(scene.spec.actors):
+            nb = actor.tree.n_bodies
+            sel = np.nonzero((body_ids >= cursor) & (body_ids < cursor + nb))[0]
+            if len(sel):
+                pieces.append((ai, art_by_actor.get(ai), body_ids[sel] - cursor, sel))
+            cursor += nb
+        order = np.concatenate([p[3] for p in pieces])
+        inv_perm = np.argsort(order)
+        identity_order = bool(np.all(inv_perm == np.arange(len(inv_perm))))
+
+        def single(state: SimState) -> jnp.ndarray:
+            parts = []
+            for ai, slot, local_ids, _ in pieces:
+                ra = state.root[ai]
+                if slot is not None:
+                    q = state.dof_pos[slot.dof_start:slot.dof_end]
+                    qd = state.dof_vel[slot.dof_start:slot.dof_end]
+                    kw = (dict(base_linvel=ra[7:10], base_angvel=ra[10:13])
+                          if slot.model.floating else {})
+                    parts.append(fk_body_states(slot.model.tree, ra[0:3], ra[3:7],
+                                                q, qd, body_ids=local_ids, **kw))
+                else:
+                    parts.append(jnp.broadcast_to(ra, (len(local_ids), 13)))
+            out = jnp.concatenate(parts, axis=0)
+            if not identity_order:
+                out = out[jnp.asarray(inv_perm)]
+            return out
+
+        return jax.vmap(single)
 
     def _rigid_body_states_single(self, state: SimState) -> jnp.ndarray:
         """(num_bodies, 13) rigid-body state tensor in reference layout."""

@@ -43,7 +43,12 @@ class HumanoidPingpongTiltNoEarlyStop(TpuVecTask):
         self.tilt_angle_range = tuple(ball["tiltAngleRange"])
         self.tilt_z_angle_range = tuple(ball["tiltZAngleRange"])
         self.body_states_id = np.asarray(env["bodyStatesId"], dtype=np.int64)
+        self._paddle_row = int(np.nonzero(self.body_states_id == self.PADDLE_BODY)[0][0])
         super().__init__(cfg, seed=seed)
+
+    def rb_body_ids(self):
+        # only the bodyStatesId subset is touched by obs/reward (paddle incl.)
+        return self.body_states_id
 
     # ------------------------------------------------------------------
 
@@ -66,15 +71,15 @@ class HumanoidPingpongTiltNoEarlyStop(TpuVecTask):
         return sim._replace(root=root)
 
     def observe_single(self, sim: SimState, rb_states, flags) -> jnp.ndarray:
-        ids = jnp.asarray(self.body_states_id)
-        hum = P.compute_humanoid_observations(rb_states, ids, sim.dof_pos, sim.dof_vel)
-        ball = P.compute_pingpong_observations(rb_states, ids, sim.root[self.ball_actor])
+        # rb_states rows follow bodyStatesId (see rb_body_ids)
+        hum = P.compute_humanoid_observations(rb_states, None, sim.dof_pos, sim.dof_vel)
+        ball = P.compute_pingpong_observations(rb_states, None, sim.root[self.ball_actor])
         return jnp.concatenate([hum, ball])
 
     def reward_single(self, pre_ball_root, sim: SimState, rb_states, flags,
                       progress) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
         """``compute_pingpong_reward_only_paddle`` (reference lines 1116-1322)."""
-        paddle = rb_states[self.PADDLE_BODY]
+        paddle = rb_states[self._paddle_row]
         ball = sim.root[self.ball_actor]
         humanoid = sim.root[self.HUMANOID_ACTOR]
 

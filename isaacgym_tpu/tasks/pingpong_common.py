@@ -108,10 +108,13 @@ def sample_ball_velocity(key, speed_range, tilt_range_deg, tilt_z_range_deg):
 def compute_humanoid_observations(body_states, body_ids, dof_pos, dof_vel):
     """Heading-local body pos/vel + dof state, reference layout
     (.../no_earlystop.py:1777-1816): [local_body_pos (J*3), local_body_vel
-    (J*3), dof_pos, dof_vel*0.1]."""
-    body_pos = body_states[body_ids, 0:3]
-    body_rot = body_states[body_ids, 3:7]
-    body_vel = body_states[body_ids, 7:10]
+    (J*3), dof_pos, dof_vel*0.1]. ``body_ids=None`` means the rows are
+    already the selected subset (row 0 = root)."""
+    if body_ids is not None:
+        body_states = body_states[body_ids]
+    body_pos = body_states[:, 0:3]
+    body_rot = body_states[:, 3:7]
+    body_vel = body_states[:, 7:10]
     root_pos = body_pos[0]
     root_rot = body_rot[0]
     heading_inv = rot.calc_heading_quat_inv(root_rot)
@@ -124,9 +127,11 @@ def compute_humanoid_observations(body_states, body_ids, dof_pos, dof_vel):
 
 def compute_pingpong_observations(body_states, body_ids, ball_root):
     """Heading-local ball position/velocity relative to the root body
-    (.../no_earlystop.py:1748-1774)."""
-    root_pos = body_states[body_ids[0], 0:3]
-    root_rot = body_states[body_ids[0], 3:7]
+    (.../no_earlystop.py:1748-1774). ``body_ids=None``: rows pre-selected."""
+    if body_ids is not None:
+        body_states = body_states[body_ids]
+    root_pos = body_states[0, 0:3]
+    root_rot = body_states[0, 3:7]
     heading_inv = rot.calc_heading_quat_inv(root_rot)
     local_pos = rot.quat_rotate(heading_inv, ball_root[0:3] - root_pos)
     local_vel = rot.quat_rotate(heading_inv, ball_root[7:10])

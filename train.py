@@ -1,0 +1,102 @@
+"""Training/eval launcher — capability of the reference ``train.py``
+(/root/reference/train.py:71-219): config composition with CLI dotlist
+overrides, task selection by name, seeding (rank-offset on multi-host),
+train/play modes, checkpointing, experiment dir with config dump.
+
+Usage (Hydra-style overrides, same surface as the reference):
+  python train.py task=HumanoidPingpongTiltNoEarlyStopG1 experiment=G1 \
+      num_envs=1024 max_iterations=1000 seed=42
+  python train.py task=... test=true checkpoint=runs/G1/ckpt num_envs=2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main(argv):
+    overrides = [a for a in argv if "=" in a]
+    kv = dict(o.split("=", 1) for o in overrides)
+    task_name = kv.get("task", "HumanoidPingpongTiltNoEarlyStopG1")
+    overrides = [o for o in overrides if not o.startswith("task=")]
+
+    import jax
+    if kv.get("device", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("ISAACGYM_TPU_CACHE", "/tmp/isaacgym_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from isaacgym_tpu.parallel.mesh import init_distributed
+    init_distributed()
+
+    import numpy as np
+    import jax.numpy as jnp
+    from isaacgym_tpu.utils.config import compose
+    from isaacgym_tpu.tasks import task_registry
+    from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer
+    from isaacgym_tpu.rl import checkpoint as ckpt
+
+    cfg = compose(task_name, overrides)
+    rank = jax.process_index()
+    seed = int(cfg.get("seed", 42)) + rank  # rank-offset seeding (reference :120)
+
+    env_cls = task_registry()[task_name]
+    env = env_cls(cfg["task"], seed=seed)
+
+    ppo_cfg = PPOConfig.from_train_cfg(cfg.get("train", {}))
+    max_iters = cfg.get("max_iterations") or ppo_cfg.max_epochs
+    if isinstance(max_iters, str) and not max_iters:
+        max_iters = ppo_cfg.max_epochs
+    max_iters = int(max_iters)
+
+    experiment = cfg.get("experiment") or f"{task_name}_{time.strftime('%y%m%d-%H%M%S')}"
+    run_dir = os.path.join("runs", experiment)
+    if rank == 0:
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2, default=str)
+
+    trainer = PPOTrainer(env, ppo_cfg, seed=seed)
+    ts = trainer.init_state()
+    checkpoint_path = str(cfg.get("checkpoint") or "")
+    if checkpoint_path:
+        ts = ckpt.restore(checkpoint_path, ts)
+        print(f"restored checkpoint from {checkpoint_path}")
+
+    env_state, obs = env.reset()
+
+    if str(cfg.get("test", "false")).lower() in ("1", "true"):
+        from isaacgym_tpu.rl.player import play
+        stats = play(env, trainer, ts, episodes=int(kv.get("episodes", 4)),
+                     sigma=float(cfg.get("sigma") or 0.0) or None)
+        print(json.dumps(stats))
+        return
+
+    save_freq = int(cfg.get("train", {}).get("params", {}).get("config", {})
+                    .get("save_frequency", 1500))
+    print(f"training {task_name}: {env.num_envs} envs, horizon "
+          f"{ppo_cfg.horizon_length}, {max_iters} epochs, seed {seed}", flush=True)
+    t_start = time.time()
+    steps_per_epoch = env.num_envs * ppo_cfg.horizon_length
+    for it in range(max_iters):
+        t0 = time.time()
+        ts, env_state, obs, metrics = trainer.train_epoch(ts, env_state, obs)
+        if rank == 0 and (it < 3 or it % 10 == 0):
+            dt = time.time() - t0
+            print(f"epoch {it:6d}  reward_mean {float(metrics['reward_mean']):9.3f}  "
+                  f"a_loss {float(metrics['a_loss']):.4f}  c_loss {float(metrics['c_loss']):.4f}  "
+                  f"kl {float(metrics['kl']):.4f}  {steps_per_epoch / dt:,.0f} steps/s", flush=True)
+        if rank == 0 and save_freq and (it + 1) % save_freq == 0:
+            ckpt.save(os.path.join(run_dir, f"ckpt_{it + 1:07d}"), ts)
+    if rank == 0:
+        ckpt.save(os.path.join(run_dir, "ckpt_final"), ts)
+        print(f"done in {time.time() - t_start:.0f}s; checkpoints in {run_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
