@@ -1,0 +1,99 @@
+"""Parity tests across the task family (C5, C6, C8) — obs dims, reward
+events, early-stop semantics (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import isaacgym_tpu
+
+
+def _roll(env, steps, actions=None):
+    state, obs = env.reset()
+    B = env.num_envs
+    a = actions if actions is not None else jnp.zeros((B, env.num_actions))
+    hist = {"rew": [], "done": [], "ball": [], "obs0": np.asarray(obs)}
+    for _ in range(steps):
+        state, obs, rew, done, info = env.step(state, a)
+        hist["rew"].append(np.asarray(rew))
+        hist["done"].append(np.asarray(done))
+        hist["ball"].append(np.asarray(state.sim.root[:, env.ball_actor, :]))
+    return state, hist
+
+
+def test_c5_dims_and_launch():
+    env = isaacgym_tpu.make(seed=1, task="HumanoidPingpongG1", num_envs=4)
+    assert env.num_obs == 80 and env.num_actions == 7
+    assert env.max_episode_length == 64
+    state, obs = env.reset()
+    ball = np.asarray(state.sim.root[:, 2, :])
+    # planar launch: vz = 0, vx in -(7.5..6.5)cos(5deg)
+    np.testing.assert_allclose(ball[:, 9], 0.0, atol=1e-6)
+    assert np.all(ball[:, 7] < -6.4) and np.all(ball[:, 7] > -7.6)
+    # humanoid yawed -30 deg
+    hq = np.asarray(state.sim.root[0, 0, 3:7])
+    np.testing.assert_allclose(hq[2], -np.sin(np.radians(15)), atol=1e-4)
+
+
+def test_c5_early_reset_on_miss():
+    env = isaacgym_tpu.make(seed=2, task="HumanoidPingpongG1", num_envs=4)
+    state, hist = _roll(env, 63)
+    done = np.stack(hist["done"])
+    # with zero actions the ball passes the paddle -> early reset well before
+    # the 64-step timeout in at least one env
+    assert done.any()
+    first_done = done.any(axis=1).argmax()
+    assert first_done < 60
+
+
+def test_c6_dims_flags_and_events():
+    env = isaacgym_tpu.make(seed=3, task="HumanoidPingpongTiltG1", num_envs=4)
+    assert env.num_obs == 80 and env.num_actions == 7
+    assert env.max_episode_length == 140
+    state, obs = env.reset()
+    assert set(state.flags) == {"condition_calculated", "reward_calculated",
+                                "no_bounce_before_half_mask"}
+    ball = np.asarray(state.sim.root[:, 2, :])
+    # 3-D launch at 8.0-8.6 m/s
+    speed = np.linalg.norm(ball[:, 7:10], axis=1)
+    assert np.all(speed > 7.9) and np.all(speed < 8.7)
+    assert np.all(ball[:, 9] > 0)
+
+
+def test_c6_super_elastic_table_event():
+    env = isaacgym_tpu.make(seed=4, task="HumanoidPingpongTiltG1", num_envs=8)
+    state, hist = _roll(env, 100)
+    ball = np.stack(hist["ball"])  # (T,B,13)
+    # ball must bounce on the table: z-velocity flips negative->positive
+    vz = ball[..., 9]
+    flipped = ((vz[:-1] < 0) & (vz[1:] > 0)).any(axis=0)
+    assert flipped.any()
+
+
+def test_c8_two_humanoids():
+    env = isaacgym_tpu.make(seed=5, task="Humanoid12PingpongTiltG1", num_envs=2)
+    assert env.num_actions == 14
+    assert env.num_obs == 94
+    assert env.scene.num_dofs == 14
+    assert env.scene.num_bodies == 82
+    assert env.scene.num_actors == 4
+    state, obs = env.reset()
+    assert obs.shape == (2, 94)
+    # humanoid2 faces the other way at x=3.5
+    h2 = np.asarray(state.sim.root[0, 1, :])
+    np.testing.assert_allclose(h2[0], 3.5, atol=1e-5)
+    np.testing.assert_allclose(abs(h2[5]), 1.0, atol=1e-4)  # yaw 180: quat z=±1
+    # steps run and stay finite
+    actions = jnp.zeros((2, 14))
+    for _ in range(5):
+        state, obs, rew, done, info = env.step(state, actions)
+    assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_registry_complete():
+    from isaacgym_tpu.tasks import task_registry
+    reg = task_registry()
+    for name in ["HumanoidPingpongG1", "HumanoidPingpongTiltG1",
+                 "HumanoidPingpongTiltNoEarlyStopG1", "Humanoid12PingpongTiltG1"]:
+        assert name in reg, name
