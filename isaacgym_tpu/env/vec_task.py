@@ -153,10 +153,16 @@ class TpuVecTask:
         obs = jax.vmap(self.observe_single)(sim1, rb, flags)
         return state, obs
 
+    def action_to_drive(self, actions):
+        """Map clipped actions to (pd_targets, efforts). Default: PD position
+        targets from the limit-derived offset/scale (reference :1019);
+        effort-control tasks (C11) override."""
+        targets = self._pd_action_offset + self._pd_action_scale * actions
+        return targets, jnp.zeros_like(targets)
+
     def _step_impl(self, state: EnvState, actions):
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
-        targets = self._pd_action_offset + self._pd_action_scale * actions
-        efforts = jnp.zeros_like(targets)
+        targets, efforts = self.action_to_drive(actions)
 
         pre_ball = state.sim.root[:, self.ball_actor, :]
         sim = self.sim.step(state.sim, targets, efforts)

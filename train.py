@@ -83,14 +83,17 @@ def main(argv):
           f"{ppo_cfg.horizon_length}, {max_iters} epochs, seed {seed}", flush=True)
     t_start = time.time()
     steps_per_epoch = env.num_envs * ppo_cfg.horizon_length
+    t_last, it_last = time.time(), 0
     for it in range(max_iters):
-        t0 = time.time()
         ts, env_state, obs, metrics = trainer.train_epoch(ts, env_state, obs)
         if rank == 0 and (it < 3 or it % 10 == 0):
-            dt = time.time() - t0
-            print(f"epoch {it:6d}  reward_mean {float(metrics['reward_mean']):9.3f}  "
+            rm = float(metrics["reward_mean"])  # blocks: epoch really done
+            now = time.time()
+            rate = steps_per_epoch * (it - it_last + 1) / max(now - t_last, 1e-9)
+            t_last, it_last = now, it + 1
+            print(f"epoch {it:6d}  reward_mean {rm:9.3f}  "
                   f"a_loss {float(metrics['a_loss']):.4f}  c_loss {float(metrics['c_loss']):.4f}  "
-                  f"kl {float(metrics['kl']):.4f}  {steps_per_epoch / dt:,.0f} steps/s", flush=True)
+                  f"kl {float(metrics['kl']):.4f}  {rate:,.0f} steps/s", flush=True)
         if rank == 0 and save_freq and (it + 1) % save_freq == 0:
             ckpt.save(os.path.join(run_dir, f"ckpt_{it + 1:07d}"), ts)
     if rank == 0:
