@@ -62,7 +62,8 @@ def _leg(side: str, sy: float) -> List[Row]:
         (f"{s}_ankle_pitch_link", f"{s}_knee_link", "revolute", (0.0, sy * -9.4445e-05, -0.30001), (0, 0, 0),
          (0, 1, 0), (-0.87267, 0.5236), 0.074, (-0.007, 0.0, 0.0), (1.9e-05, 1.1e-05, 1.3e-05), None),
         (f"{s}_ankle_roll_link", f"{s}_ankle_pitch_link", "revolute", (0.0, 0.0, -0.017558), (0, 0, 0),
-         (1, 0, 0), (-0.2618, 0.2618), 0.608, (0.026, 0.0, -0.016), (0.00024, 0.00100, 0.00110), None),
+         (1, 0, 0), (-0.2618, 0.2618), 0.608, (0.026, 0.0, -0.016), (0.00024, 0.00100, 0.00110),
+         ("box", (0.08, 0.045, 0.025), (0.03, 0.0, -0.035))),
     ]
 
 
@@ -274,7 +275,11 @@ def _all_dof_names() -> List[str]:
 def generate_all(out_dir: str = ASSET_DIR) -> List[str]:
     names = _all_dof_names()
     variants = dict(VARIANTS)
-    variants["g1_27dof_pingpong.urdf"] = [n for n in names if n not in ("waist_roll_joint", "waist_pitch_joint")]
+    # 27-DOF variant: C10's DOF_Names list (reference
+    # tasks/humanoid_pingpong_3_actor_all_dof.py:1303-1310) keeps all joints
+    # except right_shoulder_yaw and right_elbow (5 right-arm DOFs remain)
+    variants["g1_27dof_pingpong.urdf"] = [
+        n for n in names if n not in ("right_shoulder_yaw_joint", "right_elbow_joint")]
     variants["g1_26dof_pingpong.urdf"] = [n for n in names if n not in WAIST_DOF_NAMES]
     written = []
     for fname, movable in variants.items():

@@ -29,18 +29,35 @@ from isaacgym_tpu.utils import rotations as rot
 
 
 def _quat_from_rpy(rpy: np.ndarray) -> np.ndarray:
-    """URDF rpy -> xyzw quaternion (numpy, compile time)."""
-    R = U.rpy_to_matrix(rpy)
-    # use the jax helper through numpy for one-off compile-time math
-    return np.asarray(rot.rotmat_to_quat(jnp.asarray(R[None]))[0])
+    """URDF rpy -> xyzw quaternion (pure numpy: compile-time math must not
+    touch jax, which would attach the TPU backend in every process)."""
+    r, p, y = rpy
+    cr, sr = np.cos(r * 0.5), np.sin(r * 0.5)
+    cp, sp = np.cos(p * 0.5), np.sin(p * 0.5)
+    cy, sy = np.cos(y * 0.5), np.sin(y * 0.5)
+    return np.array([
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+        cr * cp * cy + sr * sp * sy,
+    ])
 
 
 def _qmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.asarray(rot.quat_mul(jnp.asarray(a), jnp.asarray(b)))
+    x1, y1, z1, w1 = a
+    x2, y2, z2, w2 = b
+    return np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 + y1 * w2 + z1 * x2 - x1 * z2,
+        w1 * z2 + z1 * w2 + x1 * y2 - y1 * x2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
 
 
 def _qrot(q: np.ndarray, v: np.ndarray) -> np.ndarray:
-    return np.asarray(rot.quat_rotate(jnp.asarray(q), jnp.asarray(v)))
+    u, w = q[:3], q[3]
+    t = 2.0 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
 
 
 @dataclass(frozen=True)
@@ -231,13 +248,19 @@ def compile_tree(model: U.UrdfModel, floating_base: bool = False) -> KinematicTr
         I_o = I_rot + m * ((d @ d) * np.eye(3) - np.outer(d, d))
         return m, m * c_t, I_o
 
+    def _quat_to_rotmat_np(q):
+        x, y, z, w = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
     for b in range(nb):
         if mass[b] <= 0.0:
             continue
         d = body_ref_dof[b]
-        R = U.rpy_to_matrix(np.zeros(3))  # identity placeholder
-        q = body_ref_quat[b]
-        Rq = np.asarray(rot.quat_to_rotmat(jnp.asarray(q[None]))[0])
+        Rq = _quat_to_rotmat_np(body_ref_quat[b])
         m, mc, I_o = _fold(mass[b], com[b], inertia[b], Rq, body_ref_pos[b])
         if d < 0:
             base_mass += m

@@ -59,9 +59,10 @@ class _GeomGroup(NamedTuple):
 
 
 def _compose(p1, q1, p2, q2):
-    """numpy compose of two transforms (compile time)."""
-    p = p1 + np.asarray(rot.quat_rotate(jnp.asarray(q1), jnp.asarray(p2)))
-    q = np.asarray(rot.quat_mul(jnp.asarray(q1), jnp.asarray(q2)))
+    """Pure-numpy compose of two transforms (compile time; no jax attach)."""
+    from isaacgym_tpu.models.kinematics import _qmul, _qrot
+    p = np.asarray(p1, np.float64) + _qrot(np.asarray(q1, np.float64), np.asarray(p2, np.float64))
+    q = _qmul(np.asarray(q1, np.float64), np.asarray(q2, np.float64))
     return p.astype(np.float32), q.astype(np.float32)
 
 

@@ -97,3 +97,26 @@ def test_registry_complete():
     for name in ["HumanoidPingpongG1", "HumanoidPingpongTiltG1",
                  "HumanoidPingpongTiltNoEarlyStopG1", "Humanoid12PingpongTiltG1"]:
         assert name in reg, name
+
+
+def test_c10_27dof_floating_base():
+    env = isaacgym_tpu.make(seed=6, task="HumanoidPingpongTiltNESSparse27DOFG1",
+                            num_envs=2, episodeLength=24)
+    assert env.num_obs == 313 and env.num_actions == 27
+    assert env.scene.num_dofs == 27
+    assert env.scene.articulations[0].model.floating
+    state, obs = env.reset()
+    assert obs.shape == (2, 313)
+    # neutral-pose actions keep the humanoid standing (feet-ground contact)
+    a0 = -np.asarray(env._pd_action_offset) / np.asarray(env._pd_action_scale)
+    actions = jnp.tile(jnp.asarray(a0, dtype=jnp.float32), (2, 1))
+    for _ in range(20):
+        state, obs, rew, done, info = env.step(state, actions)
+    pelvis_z = float(state.sim.root[0, 0, 2])
+    assert 0.7 < pelvis_z < 1.0, pelvis_z
+    assert np.isfinite(np.asarray(obs)).all()
+    assert not np.asarray(state.flags["fall_down_count"]).any()
+    # ball start y/z randomized per env within the C10 ranges
+    ball0 = np.asarray(env.reset()[0].sim.root[:, 2, :])
+    assert np.all(ball0[:, 1] > -0.55) and np.all(ball0[:, 1] < 0.15)
+    assert np.all(ball0[:, 2] > 0.95) and np.all(ball0[:, 2] < 1.06)
