@@ -30,6 +30,10 @@ class EnvState(NamedTuple):
     rng: jnp.ndarray               # (B,) jax PRNG keys
     flags: Dict[str, jnp.ndarray]  # task one-shot flags, each (B,)
     pre_ball_root: jnp.ndarray     # (B, 13) ball root before the last physics step
+    dr: Any = None                 # batched DRParams when DR is enabled
+    randomize_buf: Any = None      # (B,) steps since last re-randomization
+    global_step: Any = None        # () int32 (drives DR schedules)
+    ep_return: Any = None          # (B,) running episode return (telemetry)
 
 
 class TpuVecTask:
@@ -57,6 +61,16 @@ class TpuVecTask:
         self.scene_spec: SceneSpec = self.create_scene()
         self.scene = compile_scene(self.scene_spec)
         self.sim = Simulator(self.scene)
+
+        # domain randomization (SURVEY.md §5.9): spec-driven, off by default
+        task_cfg = cfg.get("task", {}) or {}
+        self.randomize = bool(task_cfg.get("randomize", False))
+        if self.randomize:
+            from isaacgym_tpu.env.randomize import DomainRandomizer
+            self.randomizer = DomainRandomizer(
+                task_cfg.get("randomization_params", {}), self.scene.num_dofs)
+        else:
+            self.randomizer = None
 
         # PD action mapping from DOF limits (reference .../no_earlystop.py:672-673)
         lo, hi = self._action_dof_limits()
@@ -142,12 +156,22 @@ class TpuVecTask:
 
         sim1, keys = jax.vmap(reset_one)(keys, sim0)
         flags = {k: jnp.broadcast_to(v, (B,) + jnp.shape(v)) for k, v in self.init_flags().items()}
+        dr = randomize_buf = global_step = None
+        if self.randomize:
+            dr_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys)
+            global_step = jnp.asarray(0, jnp.int32)
+            dr = jax.vmap(lambda k: self.randomizer.sample(k, global_step))(dr_keys)
+            randomize_buf = jnp.zeros(B, jnp.int32)
         state = EnvState(
             sim=sim1,
             progress=jnp.zeros(B, jnp.int32),
             rng=keys,
             flags=flags,
             pre_ball_root=sim1.root[:, self.ball_actor, :],
+            dr=dr,
+            randomize_buf=randomize_buf,
+            global_step=global_step,
+            ep_return=jnp.zeros(B, jnp.float32),
         )
         rb = self._rb_fn(sim1)
         obs = jax.vmap(self.observe_single)(sim1, rb, flags)
@@ -161,11 +185,18 @@ class TpuVecTask:
         return targets, jnp.zeros_like(targets)
 
     def _step_impl(self, state: EnvState, actions):
+        if self.randomize:
+            noise_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 101),
+                                           state.global_step)
+            actions = self.randomizer.action_noise(noise_key, actions)
         actions = jnp.clip(actions, -self.clip_actions, self.clip_actions)
         targets, efforts = self.action_to_drive(actions)
 
         pre_ball = state.sim.root[:, self.ball_actor, :]
-        sim = self.sim.step(state.sim, targets, efforts)
+        if self.randomize:
+            sim = self.sim.step_dr(state.sim, targets, efforts, state.dr)
+        else:
+            sim = self.sim.step(state.sim, targets, efforts)
         progress = state.progress + 1
 
         rb = self._rb_fn(sim)
@@ -194,9 +225,37 @@ class TpuVecTask:
         rb = self._rb_fn(sim)
         obs = jax.vmap(self.observe_single)(sim, rb, flags)
 
+        dr, randomize_buf, global_step = state.dr, state.randomize_buf, state.global_step
+        if self.randomize:
+            # re-randomize resetting envs whose counter passed ``frequency``
+            # (reference randomize_buf semantics, VecTask.apply_randomizations)
+            global_step = state.global_step + 1
+            randomize_buf = state.randomize_buf + 1
+            resample = do & (randomize_buf >= self.randomizer.frequency)
+            dr_keys = jax.vmap(lambda k: jax.random.fold_in(k, 13))(rng)
+            dr_new = jax.vmap(lambda k: self.randomizer.sample(k, global_step))(dr_keys)
+            def pick(a, b):
+                mask = resample.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(mask, a, b)
+            dr = jax.tree.map(pick, dr_new, state.dr)
+            randomize_buf = jnp.where(resample, 0, randomize_buf)
+            noise_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 202), global_step)
+            obs = self.randomizer.observation_noise(noise_key, obs)
+
+        # episode statistics (rl_games RLGPUAlgoObserver capability, N11)
+        finished_return = state.ep_return + rew
+        ep_return = jnp.where(do, 0.0, finished_return)
+
         new_state = EnvState(sim=sim, progress=progress, rng=rng, flags=flags,
-                             pre_ball_root=pre_ball)
+                             pre_ball_root=pre_ball, dr=dr,
+                             randomize_buf=randomize_buf, global_step=global_step,
+                             ep_return=ep_return)
         # same boundary as the reference reset condition (progress >= len-1)
         time_outs = state.progress + 1 >= self.max_episode_length - 1
-        info = {"time_outs": time_outs & do}
+        info = {
+            "time_outs": time_outs & do,
+            "episode_done": do,
+            "episode_return": jnp.where(do, finished_return, 0.0),
+            "episode_length": jnp.where(do, state.progress + 1, 0),
+        }
         return new_state, obs, rew, reset, info

@@ -167,8 +167,10 @@ def jacobians(model: ArticulationModel, frame_pos, axis_w, com_w, base_pos):
     return J_ang, J_lin
 
 
-def mass_matrix(model: ArticulationModel, J_ang, J_lin, I_w):
+def mass_matrix(model: ArticulationModel, J_ang, J_lin, I_w, mass_scale=None):
     m = jnp.asarray(model.link_mass)
+    if mass_scale is not None:
+        m = m * mass_scale
     M = (jnp.einsum("lai,lab,lbj->ij", J_ang, I_w, J_ang)
          + jnp.einsum("l,lai,laj->ij", m, J_lin, J_lin))
     return M + jnp.diag(jnp.asarray(model.armature))
@@ -210,7 +212,8 @@ def link_velocities(model: ArticulationModel, qpos, u):
 
 
 def forward_dynamics(model: ArticulationModel, base_pos, base_quat, q, u,
-                     tau, gravity, ext_forces: Optional[Tuple] = None):
+                     tau, gravity, ext_forces: Optional[Tuple] = None,
+                     mass_scale=None):
     """Generalized accelerations and the mass-matrix Cholesky factor.
 
     Args:
@@ -223,8 +226,11 @@ def forward_dynamics(model: ArticulationModel, base_pos, base_quat, q, u,
     """
     qpos = _qpos_pack(model, base_pos, base_quat, q)
     fp, fq, com_w, axis_w, I_w = link_geometry(model, base_pos, base_quat, q)
+    if mass_scale is not None:
+        I_w = I_w * mass_scale  # uniform mass DR scales inertias identically
     J_ang, J_lin = jacobians(model, fp, axis_w, com_w, base_pos)
-    M = mass_matrix(model, J_ang, J_lin, I_w)
+    M = mass_matrix(model, J_ang, J_lin, I_w,
+                    mass_scale=(mass_scale if mass_scale is not None else None))
 
     # bias accelerations via jvp: d/dt (J(q)·u) with u fixed
     vel_fn = lambda qp: link_velocities(model, qp, u)
@@ -233,6 +239,8 @@ def forward_dynamics(model: ArticulationModel, base_pos, base_quat, q, u,
     a_com = wv_dot[:, 3:6]
 
     m = jnp.asarray(model.link_mass)
+    if mass_scale is not None:
+        m = m * mass_scale
     f_bias = m[:, None] * (a_com - gravity[None, :])             # (nl,3)
     n_bias = jnp.einsum("lab,lb->la", I_w, wdot) + jnp.cross(w, jnp.einsum("lab,lb->la", I_w, w))
 

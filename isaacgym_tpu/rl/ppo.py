@@ -152,7 +152,10 @@ class PPOTrainer:
             logp = gaussian_logp(mu, log_sig, action)
             env_state, next_obs, rew, done, info = env_step(env_state, action)
             out = dict(obs=obs, action=action, logp=logp, value=value,
-                       reward=rew, done=done, time_out=info["time_outs"], mu=mu)
+                       reward=rew, done=done, time_out=info["time_outs"], mu=mu,
+                       ep_return=info.get("episode_return", rew * 0.0),
+                       ep_len=info.get("episode_length", done * 0),
+                       ep_done=info.get("episode_done", done))
             return (env_state, next_obs, rng), out
 
         (env_state, last_obs, rng), traj = jax.lax.scan(
@@ -257,7 +260,13 @@ class PPOTrainer:
         (params, opt_state), aux = jax.lax.scan(
             epoch_step, (ts.params, ts.opt_state), epoch_keys)
 
+        # episode stats as SUMS (multi-host safe: psum sums, not means;
+        # SURVEY.md §7 hard part 6)
+        ep_done_f = traj["ep_done"].astype(jnp.float32)
         metrics = {
+            "episode_return_sum": jnp.sum(traj["ep_return"]),
+            "episode_length_sum": jnp.sum(traj["ep_len"].astype(jnp.float32)),
+            "episode_count": jnp.sum(ep_done_f),
             "reward_mean": traj["reward"].mean(),
             "episode_reward_scale": rewards.mean(),
             "value_mean": traj["value"].mean(),

@@ -81,6 +81,8 @@ class Simulator:
         self.bounce_threshold = float(scene.spec.bounce_threshold_velocity)
         self._build_geom_groups()
         self.step = jax.vmap(self._step_single, in_axes=(0, 0, 0))
+        # step with per-env domain-randomization params (env/randomize.py)
+        self.step_dr = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0))
         self.rigid_body_states = jax.vmap(self._rigid_body_states_single)
 
     def _build_geom_groups(self) -> None:
@@ -149,16 +151,17 @@ class Simulator:
     # single-env step
     # ------------------------------------------------------------------
 
-    def _step_single(self, state: SimState, targets, efforts) -> SimState:
+    def _step_single(self, state: SimState, targets, efforts, dr=None) -> SimState:
         dt_s = self.dt / self.substeps
         for _ in range(self.substeps):
-            state = self._substep(state, targets, efforts, dt_s)
+            state = self._substep(state, targets, efforts, dt_s, dr)
         return state
 
-    def _substep(self, state: SimState, targets, efforts, dt_s) -> SimState:
+    def _substep(self, state: SimState, targets, efforts, dt_s, dr=None) -> SimState:
         scene = self.scene
         root = state.root
         dof_pos, dof_vel, dof_force = state.dof_pos, state.dof_vel, state.dof_force
+        gravity = self.gravity if dr is None else self.gravity + dr.gravity_offset
 
         # -- articulated dynamics + integration --------------------------------
         art_runtime = []
@@ -172,14 +175,21 @@ class Simulator:
 
             tgt = targets[slot.dof_start:slot.dof_end]
             eff = efforts[slot.dof_start:slot.dof_end]
+            kp = jnp.asarray(slot.stiffness)
+            kd = jnp.asarray(slot.damping)
+            if dr is not None:
+                kp = kp * dr.kp_scale[slot.dof_start:slot.dof_end]
+                kd = kd * dr.kd_scale[slot.dof_start:slot.dof_end]
             if slot.drive_mode == DRIVE_POS:
-                tau = jnp.asarray(slot.stiffness) * (tgt - q) - jnp.asarray(slot.damping) * qd + eff
+                tau = kp * (tgt - q) - kd * qd + eff
             else:
                 tau = eff
             tau = jnp.clip(tau, -jnp.asarray(tree.effort), jnp.asarray(tree.effort))
             tau_gen = jnp.concatenate([jnp.zeros(6), tau]) if model.floating else tau
 
-            udot, chol = D.forward_dynamics(model, base_pos, base_quat, q, u, tau_gen, self.gravity)
+            mass_scale = None if dr is None else dr.mass_scale
+            udot, chol = D.forward_dynamics(model, base_pos, base_quat, q, u, tau_gen, gravity,
+                                            mass_scale=mass_scale)
             u = u + dt_s * udot
             if model.floating:
                 omega, vel, qd_new = u[0:3], u[3:6], u[6:]
@@ -188,6 +198,9 @@ class Simulator:
 
             q_new = q + dt_s * qd_new
             lo, hi = jnp.asarray(tree.lower), jnp.asarray(tree.upper)
+            if dr is not None:
+                lo = lo + dr.lower_shift[slot.dof_start:slot.dof_end]
+                hi = hi + dr.upper_shift[slot.dof_start:slot.dof_end]
             at_lo, at_hi = q_new < lo, q_new > hi
             q_new = jnp.clip(q_new, lo, hi)
             qd_new = jnp.where(at_lo, jnp.maximum(qd_new, 0.0), qd_new)
@@ -213,7 +226,7 @@ class Simulator:
         for ball in scene.free_bodies:
             ra = root[ball.actor_index]
             pos, vel = ra[0:3], ra[7:10]
-            vel = vel + self.gravity * dt_s
+            vel = vel + gravity * dt_s
 
             if scene.spec.plane is not None:
                 e, mu = C.combine_material(ball.restitution, scene.spec.plane.restitution,
@@ -230,7 +243,7 @@ class Simulator:
             for art_idx, groups in self.art_groups.items():
                 rt = art_runtime[art_idx]
                 for grp in groups:
-                    pos, vel, du = self._ball_vs_art_group(rt, grp, ball, pos, vel)
+                    pos, vel, du = self._ball_vs_art_group(rt, grp, ball, pos, vel, dr)
                     rt["u"] = rt["u"] + du
 
             pos = pos + dt_s * vel
@@ -291,7 +304,7 @@ class Simulator:
         push = jnp.where(active[:, None], frame.normal * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
         return pos + push.sum(axis=0), vel
 
-    def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel):
+    def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, dr=None):
         """Ball vs one kind-group of articulated geoms, with joint-space
         two-body impulses. Returns (pos, vel, Δu)."""
         model = rt["slot"].model
@@ -315,8 +328,12 @@ class Simulator:
         v_rel = vel[None] - v_point
         vn = jnp.sum(v_rel * n, axis=-1)
         active = (frame.dist < 0.0) & (vn < 0.0)
-        e, mu = C.combine_material(ball.restitution, jnp.asarray(grp.restitution),
-                                   ball.friction, jnp.asarray(grp.friction))
+        grp_e = jnp.asarray(grp.restitution)
+        grp_mu = jnp.asarray(grp.friction)
+        if dr is not None:  # humanoid shape-property randomization
+            grp_e = grp_e * dr.restitution_scale
+            grp_mu = grp_mu * dr.friction_scale
+        e, mu = C.combine_material(ball.restitution, grp_e, ball.friction, grp_mu)
         e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
         inv_m = 1.0 / ball.mass
         w_n = inv_m + jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)

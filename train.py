@@ -61,6 +61,22 @@ def main(argv):
         with open(os.path.join(run_dir, "config.json"), "w") as f:
             json.dump(cfg, f, indent=2, default=str)
 
+    from isaacgym_tpu.utils.logging import (
+        EpisodeStatsObserver, JsonlObserver, MultiObserver, PbtObserver, WandbObserver,
+    )
+    observers = [JsonlObserver()]
+    if str(cfg.get("wandb_activate", "false")).lower() in ("1", "true"):
+        observers.append(WandbObserver(
+            project=str(cfg.get("wandb_project", "isaacgym_tpu")),
+            name=str(cfg.get("wandb_name", experiment)),
+            entity=str(cfg.get("wandb_entity", "")),
+            group=str(cfg.get("wandb_group", "")), rank=rank))
+    if cfg.get("pbt", {}).get("enabled"):
+        observers.append(PbtObserver())
+    observer = MultiObserver(observers)
+    if rank == 0:
+        observer.after_init(run_dir, cfg)
+
     trainer = PPOTrainer(env, ppo_cfg, seed=seed)
     ts = trainer.init_state()
     checkpoint_path = str(cfg.get("checkpoint") or "")
@@ -91,13 +107,21 @@ def main(argv):
             now = time.time()
             rate = steps_per_epoch * (it - it_last + 1) / max(now - t_last, 1e-9)
             t_last, it_last = now, it + 1
+            scalar = {k: float(v) for k, v in metrics.items()}
+            n_ep = max(scalar.get("episode_count", 0.0), 1e-9)
+            scalar["episode_return_mean"] = scalar.pop("episode_return_sum", 0.0) / n_ep
+            scalar["episode_length_mean"] = scalar.pop("episode_length_sum", 0.0) / n_ep
+            scalar["env_steps_per_s"] = rate
+            observer.after_epoch(it, scalar)
             print(f"epoch {it:6d}  reward_mean {rm:9.3f}  "
-                  f"a_loss {float(metrics['a_loss']):.4f}  c_loss {float(metrics['c_loss']):.4f}  "
-                  f"kl {float(metrics['kl']):.4f}  {rate:,.0f} steps/s", flush=True)
+                  f"ep_ret {scalar['episode_return_mean']:9.1f}  "
+                  f"a_loss {scalar['a_loss']:.4f}  c_loss {scalar['c_loss']:.4f}  "
+                  f"kl {scalar['kl']:.4f}  {rate:,.0f} steps/s", flush=True)
         if rank == 0 and save_freq and (it + 1) % save_freq == 0:
             ckpt.save(os.path.join(run_dir, f"ckpt_{it + 1:07d}"), ts)
     if rank == 0:
         ckpt.save(os.path.join(run_dir, "ckpt_final"), ts)
+        observer.close()
         print(f"done in {time.time() - t_start:.0f}s; checkpoints in {run_dir}", flush=True)
 
 
