@@ -50,6 +50,8 @@ class ActorSpec:
 class SceneSpec:
     actors: List[ActorSpec]
     plane: Optional[PlaneParams] = field(default_factory=PlaneParams)
+    #: optional heightfield terrain replacing the flat ground (N5)
+    terrain: Optional[object] = None
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     dt: float = 1.0 / 120.0
     substeps: int = 2

@@ -231,7 +231,15 @@ class Simulator:
             if scene.spec.plane is not None:
                 e, mu = C.combine_material(ball.restitution, scene.spec.plane.restitution,
                                            ball.friction, scene.spec.plane.dynamic_friction)
-                frame = C.sphere_plane(pos, ball.radius)
+                if scene.spec.terrain is not None:
+                    # heightfield ground (N5): bilinear height + fd normal
+                    terr = scene.spec.terrain
+                    h = terr.sample(pos[:2])
+                    n = terr.normal(pos[:2])
+                    dist = (pos[2] - h) * n[2] - ball.radius
+                    frame = C.ContactFrame(dist, n, pos - n * ball.radius)
+                else:
+                    frame = C.sphere_plane(pos, ball.radius)
                 dv, _, active = C.resolve_sphere_impulse(
                     vel, frame, jnp.zeros(3), e, mu, self.bounce_threshold)
                 vel = vel + dv
@@ -362,8 +370,14 @@ class Simulator:
         bp, bq = pos_ext[ref], quat_ext[ref]
         centers = bp + rot.quat_rotate(bq, jnp.asarray(grp.offset_pos))
         radius = jnp.asarray(grp.radius_bound)
-        dist = centers[:, 2] - radius
-        n = jnp.zeros_like(centers).at[:, 2].set(1.0)
+        if self.scene.spec.terrain is not None:
+            terr = self.scene.spec.terrain
+            h = terr.sample(centers[:, :2])
+            n = terr.normal(centers[:, :2])
+            dist = (centers[:, 2] - h) * n[:, 2] - radius
+        else:
+            dist = centers[:, 2] - radius
+            n = jnp.zeros_like(centers).at[:, 2].set(1.0)
         points = centers - n * radius[:, None]
 
         J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, points)

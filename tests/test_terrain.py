@@ -1,0 +1,76 @@
+"""Terrain tests: trimesh conversion + heightfield contact + heightmap obs
+(SURVEY.md §2 N5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from isaacgym_tpu.models import terrain as T
+from isaacgym_tpu.models import kinematics as K
+from isaacgym_tpu.sim.scene import ActorSpec, PlaneParams, SceneSpec, compile_scene
+from isaacgym_tpu.sim.simulator import Simulator
+from isaacgym_tpu.tasks import pingpong_common as P
+
+
+def test_trimesh_conversion_shapes():
+    hf = np.zeros((4, 5))
+    hf[2, 3] = 10.0
+    verts, tris = T.convert_heightfield_to_trimesh(hf, horizontal_scale=0.5, vertical_scale=0.1)
+    assert verts.shape == (20, 3)
+    assert tris.shape == (2 * 3 * 4, 3)
+    # the raised cell appears at the right world position and height
+    idx = 2 * 5 + 3
+    np.testing.assert_allclose(verts[idx], [1.0, 1.5, 1.0], atol=1e-6)
+    assert tris.max() < len(verts)
+
+
+def test_heightfield_bilinear_sampling():
+    hf = np.arange(16, dtype=np.float32).reshape(4, 4)  # plane-ish ramp
+    field = T.Heightfield(heights=hf, origin=np.asarray([0.0, 0.0], np.float32), scale=1.0)
+    # exact interior grid point (edges clip by one cell-thousandth)
+    np.testing.assert_allclose(float(field.sample(jnp.asarray([2.0, 2.0]))), hf[2, 2], atol=1e-5)
+    # midpoint interpolation
+    mid = float(field.sample(jnp.asarray([1.5, 1.5])))
+    np.testing.assert_allclose(mid, np.mean([hf[1, 1], hf[1, 2], hf[2, 1], hf[2, 2]]), atol=1e-5)
+    # normal of the ramp tilts away from +z
+    n = np.asarray(field.normal(jnp.asarray([1.5, 1.5])))
+    assert n[2] > 0 and abs(n[0]) > 0.1
+
+
+def test_ball_bounces_on_heightfield():
+    # a flat heightfield at z = 0.5 -> ball dropped from 1.5 bounces at 0.5
+    hf = np.full((32, 32), 0.5, np.float32)
+    field = T.Heightfield(heights=hf, origin=np.asarray([-8.0, -8.0], np.float32), scale=0.5)
+    ball = P.load_tree("small_ball.urdf")
+    spec = SceneSpec(
+        actors=[ActorSpec("ball", ball, pos=(0, 0, 1.5), fixed_base=False,
+                          restitution=1.0, friction=0.2)],
+        plane=PlaneParams(restitution=1.0), terrain=field, dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    state = sim.initial_state(1)
+    zeros = jnp.zeros((1, 0))
+
+    def body(s, _):
+        s2 = sim.step(s, zeros, zeros)
+        return s2, s2.root[:, 0, 2]
+
+    state, z = jax.lax.scan(body, state, None, length=180)
+    z = np.asarray(z[:, 0])
+    assert z.min() > 0.5  # never passes through the raised terrain
+    # bounced back up meaningfully (e=1 both -> near-elastic)
+    assert z[-60:].max() > 1.0
+
+
+def test_heightmap_observations():
+    hf = np.zeros((64, 64), np.float32)
+    hf[32:, :] = 1.0  # step in +x half
+    field = T.Heightfield(heights=hf, origin=np.asarray([-16.0, -16.0], np.float32), scale=0.5)
+    grid = T.make_meshgrid()
+    body_states = jnp.zeros((1, 13)).at[0, 3:7].set(jnp.asarray([0, 0, 0, 1.0]))
+    body_states = body_states.at[0, 2].set(0.9)
+    obs = T.compute_heightmap_observations(body_states, None, grid, field)
+    assert obs.shape == (225,)
+    # root at origin: points with x<0 sample height 0, obs = 0 - 0.9 + 0.9 = 0
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.asarray(obs).min() >= -0.01 and np.asarray(obs).max() <= 1.01
