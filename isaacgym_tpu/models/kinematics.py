@@ -330,8 +330,20 @@ def compile_tree(model: U.UrdfModel, floating_base: bool = False) -> KinematicTr
 
 
 def load_asset(path: str, floating_base: bool = False) -> KinematicTree:
-    """Parse + compile a URDF file in one call."""
-    return compile_tree(U.parse_urdf(path), floating_base=floating_base)
+    """Parse + compile a URDF file in one call.
+
+    Prefers the native C++ parser (isaacgym_tpu.native, N3 parity with the
+    reference's native asset loader); falls back to the Python parser, which
+    is equivalence-tested against it (tests/test_native.py)."""
+    from isaacgym_tpu import native
+    if native.available():
+        try:
+            model = native.parse_urdf_native(path)
+        except (ValueError, RuntimeError):
+            model = U.parse_urdf(path)
+    else:
+        model = U.parse_urdf(path)
+    return compile_tree(model, floating_base=floating_base)
 
 
 # ---------------------------------------------------------------------------
