@@ -201,11 +201,22 @@ def _qpos_dot(model: ArticulationModel, qpos, u):
     return jnp.concatenate([u[3:6], quat_dot, u[6:]])
 
 
-def link_velocities(model: ArticulationModel, qpos, u):
-    """(ω_L, v_comL) stacked: returns (nl, 6) array [ω; v_com]."""
-    base_pos, base_quat, q = _qpos_unpack(model, qpos)
-    fp, fq, com_w, axis_w, I_w = link_geometry(model, base_pos, base_quat, q)
-    J_ang, J_lin = jacobians(model, fp, axis_w, com_w, base_pos)
+def link_velocities(model: ArticulationModel, qpos, u,
+                    base_pos=None, base_quat=None):
+    """(ω_L, v_comL) stacked: returns (nl, 6) array [ω; v_com].
+
+    For fixed-base articulations ``qpos`` carries only the joint angles; the
+    (constant) base pose MUST be supplied explicitly — evaluating at the
+    identity base silently skews the Coriolis bias for yawed bases (C5's
+    -30 deg humanoid, C8's 180 deg robot2)."""
+    bp0, bq0, q = _qpos_unpack(model, qpos)
+    if not model.floating:
+        if base_pos is not None:
+            bp0 = base_pos
+        if base_quat is not None:
+            bq0 = base_quat
+    fp, fq, com_w, axis_w, I_w = link_geometry(model, bp0, bq0, q)
+    J_ang, J_lin = jacobians(model, fp, axis_w, com_w, bp0)
     w = J_ang @ u
     v = J_lin @ u
     return jnp.concatenate([w, v], axis=-1)
@@ -233,7 +244,7 @@ def forward_dynamics(model: ArticulationModel, base_pos, base_quat, q, u,
                     mass_scale=(mass_scale if mass_scale is not None else None))
 
     # bias accelerations via jvp: d/dt (J(q)·u) with u fixed
-    vel_fn = lambda qp: link_velocities(model, qp, u)
+    vel_fn = lambda qp: link_velocities(model, qp, u, base_pos, base_quat)
     wv, wv_dot = jax.jvp(vel_fn, (qpos,), (_qpos_dot(model, qpos, u),))
     w, wdot = wv[:, 0:3], wv_dot[:, 0:3]
     a_com = wv_dot[:, 3:6]

@@ -80,10 +80,12 @@ class Simulator:
         self.substeps = int(scene.spec.substeps)
         self.bounce_threshold = float(scene.spec.bounce_threshold_velocity)
         self._build_geom_groups()
-        self.step = jax.vmap(self._step_single, in_axes=(0, 0, 0))
+        self._step_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0))
         # step with per-env domain-randomization params (env/randomize.py)
         self.step_dr = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0))
         self.rigid_body_states = jax.vmap(self._rigid_body_states_single)
+        self._pallas_kernels = None
+        self._maybe_build_pallas()
 
     def _build_geom_groups(self) -> None:
         scene = self.scene
@@ -131,6 +133,80 @@ class Simulator:
                          for g in gs], np.float32),
                 ))
             self.art_groups[art_idx] = groups
+
+    def _maybe_build_pallas(self) -> None:
+        """Build fused Pallas articulation kernels when the scene qualifies:
+        TPU backend, fixed-base all-revolute articulations (the pingpong hot
+        path), PD/effort drive, no terrain-free special cases needed."""
+        import os
+        if os.environ.get("ISAACGYM_TPU_PALLAS", "1") == "0":
+            return
+        if jax.default_backend() == "cpu":
+            return
+        from isaacgym_tpu.ops import pallas_dynamics as PDK
+        scene = self.scene
+        if not scene.articulations:
+            return
+        for slot in scene.articulations:
+            if not PDK.supports(slot.model):
+                return
+        kernels = []
+        for slot in scene.articulations:
+            init = scene.initial_root[slot.actor_index]
+            kernels.append(PDK.build_arm_step(
+                slot.model, init[0:3], init[3:7],
+                slot.stiffness, slot.damping,
+                np.asarray(self.gravity), self.dt / self.substeps))
+        self._pallas_kernels = kernels
+
+    def step(self, state: SimState, targets, efforts) -> SimState:
+        """Batched step; routes to the fused Pallas path when eligible."""
+        if (self._pallas_kernels is not None
+                and state.root.shape[0] % 128 == 0):
+            return self._step_batched_pallas(state, targets, efforts)
+        return self._step_vmapped(state, targets, efforts)
+
+    def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
+        dt_s = self.dt / self.substeps
+        for _ in range(self.substeps):
+            state = self._substep_pallas(state, targets, efforts, dt_s)
+        return state
+
+    def _substep_pallas(self, state: SimState, targets, efforts, dt_s) -> SimState:
+        """Articulation dynamics via the fused Pallas kernel (ONE TPU kernel
+        per articulation replacing ~400 XLA ops), then the shared vmapped
+        contact phase consuming the kernel's frames + Cholesky factors."""
+        from isaacgym_tpu.ops import pallas_dynamics as PDK
+        scene = self.scene
+        root = state.root
+        dof_pos, dof_vel, dof_force = state.dof_pos, state.dof_vel, state.dof_force
+
+        flat = []
+        for si, slot in enumerate(scene.articulations):
+            sl = slice(slot.dof_start, slot.dof_end)
+            out = self._pallas_kernels[si](
+                dof_pos[:, sl], dof_vel[:, sl], targets[:, sl], efforts[:, sl])
+            dof_pos = dof_pos.at[:, sl].set(out.q_new)
+            dof_force = dof_force.at[:, sl].set(out.tau)
+            flat += [out.q_new, out.qd_new, out.frame_pos, out.frame_quat, out.chol]
+
+        def contact_one(root1, dp1, dv1, df1, *art_flat):
+            art_runtime = []
+            it = iter(art_flat)
+            for slot in scene.articulations:
+                qn, qdn, fp, fq, cholp = (next(it) for _ in range(5))
+                init = scene.initial_root[slot.actor_index]
+                art_runtime.append({
+                    "slot": slot, "q": qn, "u": qdn,
+                    "chol": PDK.unpack_chol(cholp, slot.model.tree.n_dof),
+                    "base_pos": jnp.asarray(init[0:3]),
+                    "base_quat": jnp.asarray(init[3:7]),
+                    "frames": (fp, fq),
+                })
+            return self._contacts_and_writeback(root1, dp1, dv1, df1,
+                                                art_runtime, dt_s, None)
+
+        return jax.vmap(contact_one)(root, dof_pos, dof_vel, dof_force, *flat)
 
     # ------------------------------------------------------------------
     # state construction
@@ -221,6 +297,16 @@ class Simulator:
                 "slot": slot, "q": q_new, "u": u, "chol": chol,
                 "base_pos": base_pos, "base_quat": base_quat, "frames": frames,
             })
+
+        return self._contacts_and_writeback(root, dof_pos, dof_vel, dof_force,
+                                            art_runtime, dt_s, dr)
+
+    def _contacts_and_writeback(self, root, dof_pos, dof_vel, dof_force,
+                                art_runtime, dt_s, dr):
+        """Shared contact + integration tail (single env); consumed by both
+        the XLA articulation phase and the fused Pallas kernel phase."""
+        scene = self.scene
+        gravity = self.gravity if dr is None else self.gravity + dr.gravity_offset
 
         # -- free bodies (balls): gravity + contacts + integration -------------
         for ball in scene.free_bodies:
