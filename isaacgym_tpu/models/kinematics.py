@@ -335,6 +335,9 @@ def load_asset(path: str, floating_base: bool = False) -> KinematicTree:
     Prefers the native C++ parser (isaacgym_tpu.native, N3 parity with the
     reference's native asset loader); falls back to the Python parser, which
     is equivalence-tested against it (tests/test_native.py)."""
+    if path.endswith(".xml"):  # MJCF (reference keeps G1 under assets/mjcf)
+        from isaacgym_tpu.models.mjcf import parse_mjcf
+        return compile_tree(parse_mjcf(path), floating_base=floating_base)
     from isaacgym_tpu import native
     if native.available():
         try:

@@ -43,6 +43,7 @@ class SimState(NamedTuple):
     dof_pos: jnp.ndarray    # (num_dofs,)
     dof_vel: jnp.ndarray    # (num_dofs,)
     dof_force: jnp.ndarray  # (num_dofs,) last applied drive torque (sensor parity)
+    net_contact_force: jnp.ndarray  # (num_bodies, 3) per-step contact force (N2 parity)
 
 
 class _GeomGroup(NamedTuple):
@@ -50,6 +51,7 @@ class _GeomGroup(NamedTuple):
     kind: int
     actor_index: np.ndarray   # (k,) owning actor (static geoms) or articulation actor
     link: np.ndarray          # (k,) dof-link index within articulation (-1 = base)
+    body: np.ndarray          # (k,) env-level body index (contact-force reporting)
     offset_pos: np.ndarray    # (k,3) owner-frame offset (body_ref ∘ local for art geoms)
     offset_quat: np.ndarray   # (k,4)
     size: np.ndarray          # (k,3)
@@ -99,6 +101,7 @@ class Simulator:
                 kind=kind,
                 actor_index=np.asarray([g.actor_index for g in gs]),
                 link=np.full(len(gs), -1),
+                body=np.asarray([g.body_start for g in gs]),
                 offset_pos=np.stack([g.local_pos for g in gs]).astype(np.float32),
                 offset_quat=np.stack([g.local_quat for g in gs]).astype(np.float32),
                 size=np.stack([g.size for g in gs]).astype(np.float32),
@@ -123,6 +126,7 @@ class Simulator:
                     kind=kind,
                     actor_index=np.asarray([slot.actor_index] * len(gs)),
                     link=np.asarray([int(tree.body_ref_dof[g.body_index]) for g in gs]),
+                    body=np.asarray([slot.body_start + g.body_index for g in gs]),
                     offset_pos=np.stack([o[0] for o in offs]),
                     offset_quat=np.stack([o[1] for o in offs]),
                     size=np.stack([g.size for g in gs]).astype(np.float32),
@@ -168,6 +172,7 @@ class Simulator:
 
     def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
         dt_s = self.dt / self.substeps
+        state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
         for _ in range(self.substeps):
             state = self._substep_pallas(state, targets, efforts, dt_s)
         return state
@@ -190,7 +195,7 @@ class Simulator:
             dof_force = dof_force.at[:, sl].set(out.tau)
             flat += [out.q_new, out.qd_new, out.frame_pos, out.frame_quat, out.chol]
 
-        def contact_one(root1, dp1, dv1, df1, *art_flat):
+        def contact_one(root1, dp1, dv1, df1, ncf1, *art_flat):
             art_runtime = []
             it = iter(art_flat)
             for slot in scene.articulations:
@@ -204,9 +209,10 @@ class Simulator:
                     "frames": (fp, fq),
                 })
             return self._contacts_and_writeback(root1, dp1, dv1, df1,
-                                                art_runtime, dt_s, None)
+                                                art_runtime, dt_s, None, ncf=ncf1)
 
-        return jax.vmap(contact_one)(root, dof_pos, dof_vel, dof_force, *flat)
+        return jax.vmap(contact_one)(root, dof_pos, dof_vel, dof_force,
+                                     state.net_contact_force, *flat)
 
     # ------------------------------------------------------------------
     # state construction
@@ -218,6 +224,7 @@ class Simulator:
             dof_pos=jnp.zeros(self.scene.num_dofs, jnp.float32),
             dof_vel=jnp.zeros(self.scene.num_dofs, jnp.float32),
             dof_force=jnp.zeros(self.scene.num_dofs, jnp.float32),
+            net_contact_force=jnp.zeros((self.scene.num_bodies, 3), jnp.float32),
         )
         if batch is None:
             return s
@@ -229,6 +236,7 @@ class Simulator:
 
     def _step_single(self, state: SimState, targets, efforts, dr=None) -> SimState:
         dt_s = self.dt / self.substeps
+        state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
         for _ in range(self.substeps):
             state = self._substep(state, targets, efforts, dt_s, dr)
         return state
@@ -299,14 +307,19 @@ class Simulator:
             })
 
         return self._contacts_and_writeback(root, dof_pos, dof_vel, dof_force,
-                                            art_runtime, dt_s, dr)
+                                            art_runtime, dt_s, dr,
+                                            ncf=state.net_contact_force)
 
     def _contacts_and_writeback(self, root, dof_pos, dof_vel, dof_force,
-                                art_runtime, dt_s, dr):
+                                art_runtime, dt_s, dr, ncf=None):
         """Shared contact + integration tail (single env); consumed by both
-        the XLA articulation phase and the fused Pallas kernel phase."""
+        the XLA articulation phase and the fused Pallas kernel phase.
+        Accumulates per-body net contact forces (impulse / step dt) into the
+        state — the reference ``net_contact_force_tensor`` capability."""
         scene = self.scene
         gravity = self.gravity if dr is None else self.gravity + dr.gravity_offset
+        if ncf is None:
+            ncf = jnp.zeros((scene.num_bodies, 3), jnp.float32)
 
         # -- free bodies (balls): gravity + contacts + integration -------------
         for ball in scene.free_bodies:
@@ -330,15 +343,19 @@ class Simulator:
                     vel, frame, jnp.zeros(3), e, mu, self.bounce_threshold)
                 vel = vel + dv
                 pos = C.depenetrate(pos, frame, active)
+                ncf = ncf.at[ball.body_start].add(dv * (ball.mass / self.dt))
 
             for grp in self.static_groups:
-                pos, vel = self._ball_vs_static_group(root, grp, ball, pos, vel)
+                pos, vel, dv_tot = self._ball_vs_static_group(root, grp, ball, pos, vel)
+                ncf = ncf.at[ball.body_start].add(dv_tot * (ball.mass / self.dt))
 
             for art_idx, groups in self.art_groups.items():
                 rt = art_runtime[art_idx]
                 for grp in groups:
-                    pos, vel, du = self._ball_vs_art_group(rt, grp, ball, pos, vel, dr)
+                    pos, vel, du, P = self._ball_vs_art_group(rt, grp, ball, pos, vel, dr)
                     rt["u"] = rt["u"] + du
+                    ncf = ncf.at[ball.body_start].add(P.sum(axis=0) / self.dt)
+                    ncf = ncf.at[jnp.asarray(grp.body)].add(-P / self.dt)
 
             pos = pos + dt_s * vel
             root = root.at[ball.actor_index, 0:3].set(pos)
@@ -366,7 +383,8 @@ class Simulator:
             else:
                 dof_vel = dof_vel.at[slot.dof_start:slot.dof_end].set(u)
 
-        return SimState(root=root, dof_pos=dof_pos, dof_vel=dof_vel, dof_force=dof_force)
+        return SimState(root=root, dof_pos=dof_pos, dof_vel=dof_vel,
+                        dof_force=dof_force, net_contact_force=ncf)
 
     # ------------------------------------------------------------------
     # contact helpers (vectorized over geom groups)
@@ -394,9 +412,10 @@ class Simulator:
                                    ball.friction, jnp.asarray(grp.friction))
         dv, _, active = C.resolve_sphere_impulse(
             vel[None], frame, jnp.zeros_like(gpos), e, mu, self.bounce_threshold)
-        vel = vel + dv.sum(axis=0)
+        dv_tot = dv.sum(axis=0)
+        vel = vel + dv_tot
         push = jnp.where(active[:, None], frame.normal * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
-        return pos + push.sum(axis=0), vel
+        return pos + push.sum(axis=0), vel, dv_tot
 
     def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, dr=None):
         """Ball vs one kind-group of articulated geoms, with joint-space
@@ -442,7 +461,7 @@ class Simulator:
         vel = vel + P.sum(axis=0) * inv_m
         du = -jnp.einsum("kav,ka->v", MinvJT, P)
         push = jnp.where(active[:, None], n * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
-        return pos + push.sum(axis=0), vel, du
+        return pos + push.sum(axis=0), vel, du, P
 
     def _art_vs_ground_group(self, rt, grp: _GeomGroup, dt_s):
         """Articulation geoms (bounding spheres) vs ground plane; Baumgarte-

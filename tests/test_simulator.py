@@ -219,3 +219,36 @@ def test_batch_envs_independent():
     state = _run(sim, state, targets, efforts, 20)  # 0.167 s: pre-contact
     x = np.asarray(state.root[:, 2, 0])
     assert np.all(np.diff(x) < 0), x  # faster balls are further along -x
+
+
+def test_net_contact_force_and_tensor_api():
+    """N2 parity: contact forces reported per body; tensor-API views/setters."""
+    from isaacgym_tpu.sim import tensor_api as T
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    B = 2
+    state = sim.initial_state(B)
+    v0 = jnp.asarray([-5.6 * np.cos(np.radians(13.0)), 0.0, 5.6 * np.sin(np.radians(13.0))],
+                     dtype=jnp.float32)
+    state = T.set_rigid_linear_velocity(state, 2, v0)
+    targets = jnp.zeros((B, 7)); efforts = jnp.zeros((B, 7))
+    step = jax.jit(sim.step)
+    max_ball_f = 0.0
+    for _ in range(90):
+        state = step(state, targets, efforts)
+        ncf = T.acquire_net_contact_force_tensor(state)
+        max_ball_f = max(max_ball_f, float(jnp.abs(ncf[:, 41]).max()))
+    # the ball hit the table at least once: a contact force was reported
+    assert max_ball_f > 0.5, max_ball_f
+    # views have the reference layouts
+    assert T.acquire_actor_root_state_tensor(state).shape == (B, 3, 13)
+    assert T.acquire_dof_state_tensor(state).shape == (B, 7, 2)
+    assert T.acquire_rigid_body_state_tensor(sim, state).shape == (B, 42, 13)
+    assert T.acquire_dof_force_tensor(state).shape == (B, 7)
+    assert T.acquire_force_sensor_tensor(sim, state, [39]).shape == (B, 1, 6)
+    # functional indexed setter
+    state2 = T.set_dof_state_tensor_indexed(state, jnp.zeros(7), jnp.zeros(7),
+                                            env_ids=jnp.asarray([0]))
+    np.testing.assert_allclose(np.asarray(state2.dof_pos[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(state2.dof_pos[1]),
+                               np.asarray(state.dof_pos[1]))
