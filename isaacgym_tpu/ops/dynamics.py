@@ -23,7 +23,6 @@ All functions are single-env; batch with ``vmap`` (the simulator does).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np

@@ -13,8 +13,6 @@ For n > _UNROLL_MAX we fall back to lax cholesky.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

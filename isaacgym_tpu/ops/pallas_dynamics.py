@@ -25,7 +25,6 @@ tests/test_pallas_dynamics.py.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import numpy as np

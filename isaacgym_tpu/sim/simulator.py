@@ -27,13 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from isaacgym_tpu.models import urdf as U
-from isaacgym_tpu.models.kinematics import (
-    fk_body_states, fk_dof_frames, fk_dof_velocities,
-)
+from isaacgym_tpu.models.kinematics import fk_body_states, fk_dof_frames
 from isaacgym_tpu.ops import contacts as C
 from isaacgym_tpu.ops import dynamics as D
 from isaacgym_tpu.ops import linalg as L
-from isaacgym_tpu.sim.scene import DRIVE_POS, ArticulationSlot, CompiledScene
+from isaacgym_tpu.sim.scene import DRIVE_POS, CompiledScene
 from isaacgym_tpu.utils import rotations as rot
 
 

@@ -10,8 +10,6 @@ SURVEY.md §3.1). All functions take unbatched arrays; the env base vmaps.
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import numpy as np
 import jax.numpy as jnp
 

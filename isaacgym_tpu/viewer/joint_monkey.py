@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from isaacgym_tpu.models.kinematics import fk_body_states
 from isaacgym_tpu.ops import contacts as C
 from isaacgym_tpu.tasks import pingpong_common as P
-from isaacgym_tpu.utils import rotations as rot
 from isaacgym_tpu.viewer.trajectory import TrajectoryRecorder
 
 ANIM_SEEK_LOWER, ANIM_SEEK_UPPER, ANIM_SEEK_DEFAULT = 0, 1, 2
