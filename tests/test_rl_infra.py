@@ -1,0 +1,120 @@
+"""Checkpoint round-trip, player, observers, and scripted reward-event
+parity tests (SURVEY.md §4, §5.4, §5.5)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import isaacgym_tpu
+from isaacgym_tpu.rl import checkpoint as ckpt
+from isaacgym_tpu.rl.player import play
+from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer
+from isaacgym_tpu.utils import logging as L
+
+
+@pytest.fixture(scope="module")
+def small_env():
+    return isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNoEarlyStopG1",
+                             num_envs=4, episodeLength=10)
+
+
+@pytest.fixture(scope="module")
+def trainer(small_env):
+    cfg = PPOConfig(units=(32, 32), horizon_length=4, minibatch_size=8, mini_epochs=1)
+    return PPOTrainer(small_env, cfg, seed=0)
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer):
+    ts = trainer.init_state()
+    path = str(tmp_path / "ckpt")
+    ckpt.save(path, ts)
+    ts2 = ckpt.restore(path, trainer.init_state())
+    a = jax.tree.leaves(ts.params)
+    b = jax.tree.leaves(ts2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(ts.obs_stats.mean),
+                                  np.asarray(ts2.obs_stats.mean))
+
+
+def test_player_runs_episodes(small_env, trainer):
+    ts = trainer.init_state()
+    stats = play(small_env, trainer, ts, episodes=1)
+    assert stats["episodes"] >= small_env.num_envs
+    assert np.isfinite(stats["return_mean"])
+
+
+def test_observers(tmp_path):
+    run_dir = str(tmp_path / "run")
+    obs = L.MultiObserver([L.EpisodeStatsObserver(), L.JsonlObserver(), L.PbtObserver(interval=1)])
+    obs.after_init(run_dir, {"cfg": 1})
+    obs.process_infos({
+        "episode_done": np.asarray([True, False, True]),
+        "episode_return": np.asarray([10.0, 0.0, 20.0]),
+        "episode_length": np.asarray([5, 0, 7]),
+    })
+    metrics = {"a_loss": 0.1}
+    obs.after_epoch(0, metrics)
+    assert metrics["episode_return_mean"] == 15.0
+    assert metrics["episode_length_mean"] == 6.0
+    obs.close()
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().strip().splitlines()
+    assert json.loads(lines[0])["a_loss"] == 0.1
+    assert json.loads(open(os.path.join(run_dir, "pbt_objective.json")).read())["epoch"] == 0
+
+
+def _inject_ball(env, state, pos, vel):
+    root = state.sim.root
+    root = root.at[:, env.ball_actor, 0:3].set(jnp.asarray(pos))
+    root = root.at[:, env.ball_actor, 7:10].set(jnp.asarray(vel))
+    return state._replace(sim=state.sim._replace(root=root))
+
+
+def test_c6_hit_table_reward_fires_once():
+    """Scripted trajectory parity (SURVEY.md §4): place the ball in the C6
+    hit-table window moving +x after a paddle hit; the one-shot reward fires
+    exactly once, then the flag suppresses it."""
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltG1",
+                            num_envs=2, episodeLength=50)
+    state, obs = env.reset()
+    rb = env._rb_fn(state.sim)
+
+    # ball bouncing up inside the opponent-half window (x in (2.44,3.1), z<0.83)
+    sim1 = state.sim._replace(root=state.sim.root
+                              .at[:, 2, 0:3].set(jnp.asarray([2.8, 0.0, 0.80]))
+                              .at[:, 2, 7:10].set(jnp.asarray([3.0, 0.0, 1.0])))
+    pre_ball = sim1.root[:, 2, :]
+    rb1 = env._rb_fn(sim1)
+    rew1, reset1, flags1 = jax.vmap(env.reward_single)(
+        pre_ball, sim1, rb1, state.flags, state.progress + 1)
+    assert float(rew1[0]) > 900.0  # hitTableReward 1000 dominates
+    assert bool(flags1["reward_calculated"][0])
+
+    # same condition again: flag suppresses the reward
+    rew2, reset2, flags2 = jax.vmap(env.reward_single)(
+        pre_ball, sim1, rb1, flags1, state.progress + 2)
+    assert float(rew2[0]) < 500.0
+
+
+def test_c7_velocity_reward_scripted():
+    """C7 one-shot velocity-flip bonus: pre_vx < 0, vx > 1 -> alpha*|vx| once."""
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNoEarlyStopG1",
+                            num_envs=2, episodeLength=50)
+    state, obs = env.reset()
+    sim1 = state.sim._replace(root=state.sim.root
+                              .at[:, 2, 0:3].set(jnp.asarray([0.5, -0.1, 1.1]))
+                              .at[:, 2, 7:10].set(jnp.asarray([4.0, 0.0, 1.0])))
+    pre_ball = sim1.root[:, 2, :].at[:, 7].set(-4.0)  # incoming before the hit
+    rb1 = env._rb_fn(sim1)
+    rew1, _, flags1 = jax.vmap(env.reward_single)(
+        pre_ball, sim1, rb1, state.flags, state.progress + 1)
+    # alpha=1000, |vx|=4 -> ~4000 (plus small pos/power terms)
+    assert float(rew1[0]) > 3500.0
+    assert bool(flags1["paddle_condition_calculated"][0])
+    rew2, _, _ = jax.vmap(env.reward_single)(
+        pre_ball, sim1, rb1, flags1, state.progress + 2)
+    assert float(rew2[0]) < 100.0
