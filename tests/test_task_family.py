@@ -120,3 +120,31 @@ def test_c10_27dof_floating_base():
     ball0 = np.asarray(env.reset()[0].sim.root[:, 2, :])
     assert np.all(ball0[:, 1] > -0.55) and np.all(ball0[:, 1] < 0.15)
     assert np.all(ball0[:, 2] > 0.95) and np.all(ball0[:, 2] < 1.06)
+
+
+def test_c10_gradient_table_reward_scripted():
+    """C10 parity: ball crossing z in [0.82,0.83] with vx>0 inside the square
+    x in [1.9,3.1], |y|<0.6 gets +hitTableReward once; outside the square a
+    distance-proportional penalty (reference compute_gradient_penalty,
+    .../all_dof.py:1246-1301)."""
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNESSparse27DOFG1",
+                            num_envs=2, episodeLength=50)
+    state, obs = env.reset()
+
+    def rewards_at(ball_pos, ball_vel, flags):
+        sim1 = state.sim._replace(root=state.sim.root
+                                  .at[:, 2, 0:3].set(jnp.asarray(ball_pos))
+                                  .at[:, 2, 7:10].set(jnp.asarray(ball_vel)))
+        pre = sim1.root[:, 2, :]
+        rb1 = env._rb_fn(sim1)
+        return jax.vmap(env.reward_single)(pre, sim1, rb1, flags, state.progress + 1)
+
+    # inside the square at the crossing height
+    r_in, _, f_in = rewards_at([2.5, 0.0, 0.825], [2.0, 0.0, -1.0], state.flags)
+    # outside (y beyond the table): penalty proportional to distance
+    r_out, _, _ = rewards_at([2.5, 1.5, 0.825], [2.0, 0.0, -1.0], state.flags)
+    assert float(r_in[0]) - float(r_out[0]) > 2000.0  # 3000 reward vs -100*d
+    assert bool(f_in["hit_table_calculated"][0])
+    # one-shot: second crossing with the flag set gives no table term
+    r_again, _, _ = rewards_at([2.5, 0.0, 0.825], [2.0, 0.0, -1.0], f_in)
+    assert float(r_in[0]) - float(r_again[0]) > 2000.0
