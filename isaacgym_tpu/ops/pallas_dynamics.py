@@ -405,3 +405,434 @@ def unpack_chol(packed, nd: int):
             t += 1
         out.append(tuple(row))
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# fully-fused substep: articulation dynamics + ball contacts in ONE kernel
+# ---------------------------------------------------------------------------
+
+class FusedStepOutputs(NamedTuple):
+    q_new: jnp.ndarray       # (B, nd)
+    qd_new: jnp.ndarray      # (B, nd) post-contact
+    tau: jnp.ndarray         # (B, nd)
+    ball_pos: jnp.ndarray    # (B, 3)
+    ball_vel: jnp.ndarray    # (B, 3)
+    impulses: jnp.ndarray    # (B, ng+1, 3): per-art-geom impulse on the geom
+                             # body (rows 0..ng-1) + total impulse on the ball
+                             # from plane/static contacts (row ng)
+
+
+def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
+                        kp, kd, gravity, dt_s: float,
+                        ball_cfg: dict, static_geoms: list, art_geoms: list,
+                        bounce_threshold: float = 0.2,
+                        rows_per_block: int = 8):
+    """One Pallas kernel for the ENTIRE substep of a single-humanoid pingpong
+    scene: PD -> dynamics -> integrate -> post FK -> ball gravity -> plane /
+    static-box / articulated-geom impulse contacts (with joint-space
+    reactions through the in-kernel Cholesky factor) -> ball integration.
+
+    ``ball_cfg``: dict(mass, radius, restitution, friction).
+    ``static_geoms``: list of dict(kind, pos(3), quat(4), size(3), e, mu) in
+    WORLD frame (static actors' poses are scene constants).
+    ``art_geoms``: list of dict(kind, link, off_pos(3), off_quat(4), size(3),
+    e, mu) with offsets relative to the link's dof frame.
+
+    Contact material combine = average (PhysX default), restitution gated by
+    ``bounce_threshold`` — identical to ops.contacts.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tree = model.tree
+    nd = tree.n_dof
+    assert supports(model)
+
+    parent = [int(p) for p in tree.dof_parent]
+    pre_pos = tree.dof_pre_pos.astype(np.float64)
+    pre_quat = tree.dof_pre_quat.astype(np.float64)
+    axis = tree.dof_axis.astype(np.float64)
+    mask = model.ancestor_mask[:nd, :nd]
+    m_l = tree.comp_mass.astype(np.float64)
+    com_l = tree.comp_com.astype(np.float64)
+    I_l = model.link_inertia_com[:nd].astype(np.float64)
+    armature = model.armature.astype(np.float64)
+    lo = tree.lower.astype(np.float64)
+    hi = tree.upper.astype(np.float64)
+    effort = tree.effort.astype(np.float64)
+    gx, gy, gz = [float(v) for v in gravity]
+    kp = np.asarray(kp, np.float64)
+    kd = np.asarray(kd, np.float64)
+    bq0 = tuple(float(v) for v in base_quat)
+    bp0 = tuple(float(v) for v in base_pos)
+    inv_mb = 1.0 / float(ball_cfg["mass"])
+    rb_ = float(ball_cfg["radius"])
+    e_ball = float(ball_cfg["restitution"])
+    mu_ball = float(ball_cfg["friction"])
+    ng = len(art_geoms)
+
+    def fk(q_rows):
+        fp, fq, axes_w = [], [], []
+        for d in range(nd):
+            if parent[d] < 0:
+                pp = tuple(jnp.full_like(q_rows[0], c) for c in bp0)
+                pq = tuple(jnp.full_like(q_rows[0], c) for c in bq0)
+            else:
+                pp, pq = fp[parent[d]], fq[parent[d]]
+            jp = _add(pp, _qrot(pq, tuple(float(c) for c in pre_pos[d])))
+            jq = _qmul(pq, tuple(float(c) for c in pre_quat[d]))
+            half = 0.5 * q_rows[d]
+            s, c = jnp.sin(half), jnp.cos(half)
+            ax, ay, az = [float(v) for v in axis[d]]
+            bq_d = _qmul(jq, (ax * s, ay * s, az * s, c))
+            fp.append(jp)
+            fq.append(bq_d)
+            axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
+        return fp, fq, axes_w
+
+    def _sphere_box_local(c_local, half):
+        """closest-point sphere-vs-box in the box frame; returns (dist, n_local)."""
+        cl = [jnp.clip(c_local[i], -float(half[i]), float(half[i])) for i in range(3)]
+        d = _sub(c_local, tuple(cl))
+        out2 = _dot(d, d)
+        out_dist = jnp.sqrt(jnp.maximum(out2, 1e-18))
+        outside = out2 > 1e-12
+        # inside: push through the nearest face
+        gaps = [float(half[i]) - jnp.abs(c_local[i]) for i in range(3)]
+        sx = jnp.where(c_local[0] >= 0, 1.0, -1.0)
+        sy = jnp.where(c_local[1] >= 0, 1.0, -1.0)
+        sz = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+        use_x = (gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2])
+        use_y = (~use_x) & (gaps[1] <= gaps[2])
+        use_z = (~use_x) & (~use_y)
+        n_in = (jnp.where(use_x, sx, 0.0), jnp.where(use_y, sy, 0.0), jnp.where(use_z, sz, 0.0))
+        d_in = -jnp.minimum(gaps[0], jnp.minimum(gaps[1], gaps[2]))
+        inv = 1.0 / out_dist
+        n_out = _scale(d, inv)
+        n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+        dist = jnp.where(outside, out_dist, d_in) - rb_
+        return dist, n
+
+    def _sphere_cyl_local(c_local, radius, half_len):
+        r2 = c_local[0] * c_local[0] + c_local[1] * c_local[1]
+        r_xy = jnp.sqrt(jnp.maximum(r2, 1e-18))
+        scale = jnp.minimum(1.0, float(radius) / r_xy)
+        cl = (c_local[0] * scale, c_local[1] * scale,
+              jnp.clip(c_local[2], -float(half_len), float(half_len)))
+        d = _sub(c_local, cl)
+        out2 = _dot(d, d)
+        out_dist = jnp.sqrt(jnp.maximum(out2, 1e-18))
+        outside = out2 > 1e-12
+        face_gap = float(half_len) - jnp.abs(c_local[2])
+        wall_gap = float(radius) - r_xy
+        zsgn = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+        use_face = face_gap < wall_gap
+        inv_rxy = 1.0 / r_xy
+        n_in = (jnp.where(use_face, 0.0, c_local[0] * inv_rxy),
+                jnp.where(use_face, 0.0, c_local[1] * inv_rxy),
+                jnp.where(use_face, zsgn, 0.0))
+        d_in = -jnp.minimum(face_gap, wall_gap)
+        inv = 1.0 / out_dist
+        n_out = _scale(d, inv)
+        n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+        dist = jnp.where(outside, out_dist, d_in) - rb_
+        return dist, n
+
+    def _resolve_static(vel, dist, n, e, mu):
+        """impulse against a static surface; returns (vel', push, dv)."""
+        vn = _dot(vel, n)
+        active = (dist < 0.0) & (vn < 0.0)
+        e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+        jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
+        vt = _sub(vel, _scale(n, vn))
+        vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+        jt = jnp.where(active, jnp.minimum(mu * jn, vt_n), 0.0)
+        inv_vt = 1.0 / vt_n
+        dv = _sub(_scale(n, jn), _scale(vt, jt * inv_vt))
+        vel2 = _add(vel, dv)
+        push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
+        return vel2, push, dv
+
+    def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref,
+               qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref):
+        q = [q_ref[d] for d in range(nd)]
+        qd = [qd_ref[d] for d in range(nd)]
+        zero = jnp.zeros_like(q[0])
+
+        tau = []
+        for d in range(nd):
+            t_d = float(kp[d]) * (tgt_ref[d] - q[d]) - float(kd[d]) * qd[d] + eff_ref[d]
+            t_d = jnp.clip(t_d, -float(effort[d]), float(effort[d]))
+            tau.append(t_d)
+            tau_ref[d] = t_d
+
+        fp, fq, axes_w = fk(q)
+        com_w, I_w = [], []
+        for l in range(nd):
+            com_w.append(_add(fp[l], _qrot(fq[l], tuple(float(v) for v in com_l[l]))))
+            I_w.append(_world_inertia(_rotmat_from_quat(fq[l]), I_l[l]))
+
+        w_list, wd_list, ao_list = [], [], []
+        for d in range(nd):
+            if parent[d] < 0:
+                w_p = wd_p = ao_p = (zero, zero, zero)
+                o_p = tuple(jnp.full_like(q[0], c) for c in bp0)
+            else:
+                w_p, wd_p, ao_p = w_list[parent[d]], wd_list[parent[d]], ao_list[parent[d]]
+                o_p = fp[parent[d]]
+            r = _sub(fp[d], o_p)
+            ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
+            a_w = axes_w[d]
+            w_d = _add(w_p, _scale(a_w, qd[d]))
+            wd_d = _add(wd_p, _scale(_cross(w_p, a_w), qd[d]))
+            w_list.append(w_d); wd_list.append(wd_d); ao_list.append(ao_d)
+
+        f_list, n_list = [], []
+        for l in range(nd):
+            rc = _sub(com_w[l], fp[l])
+            a_com = _add(ao_list[l], _add(_cross(wd_list[l], rc),
+                                          _cross(w_list[l], _cross(w_list[l], rc))))
+            f_list.append(_scale((a_com[0] - gx, a_com[1] - gy, a_com[2] - gz), float(m_l[l])))
+            Iw = I_w[l]
+            n_list.append(_add(_sym_mat_vec(Iw, wd_list[l]),
+                               _cross(w_list[l], _sym_mat_vec(Iw, w_list[l]))))
+
+        Jlin = [[None] * nd for _ in range(nd)]
+        for l in range(nd):
+            for i in range(nd):
+                if mask[l, i]:
+                    Jlin[l][i] = _cross(axes_w[i], _sub(com_w[l], fp[i]))
+
+        rhs = []
+        for i in range(nd):
+            acc = zero
+            for l in range(nd):
+                if mask[l, i]:
+                    acc = acc + _dot(axes_w[i], n_list[l]) + _dot(Jlin[l][i], f_list[l])
+            rhs.append(tau[i] - acc)
+
+        M = [[None] * nd for _ in range(nd)]
+        for i in range(nd):
+            for j in range(i + 1):
+                acc = zero
+                for l in range(nd):
+                    if mask[l, i] and mask[l, j]:
+                        acc = (acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
+                               + float(m_l[l]) * _dot(Jlin[l][i], Jlin[l][j]))
+                if i == j:
+                    acc = acc + float(armature[i])
+                M[i][j] = acc
+
+        Lm = [[None] * (i + 1) for i in range(nd)]
+        for j in range(nd):
+            s = M[j][j]
+            for k2 in range(j):
+                s = s - Lm[j][k2] * Lm[j][k2]
+            dia = jnp.sqrt(jnp.maximum(s, 1e-12))
+            Lm[j][j] = dia
+            inv_d = 1.0 / dia
+            for i in range(j + 1, nd):
+                s = M[i][j]
+                for k2 in range(j):
+                    s = s - Lm[i][k2] * Lm[j][k2]
+                Lm[i][j] = s * inv_d
+
+        def fwd_sub(b):
+            y = [None] * nd
+            for i in range(nd):
+                s = b[i]
+                for j in range(i):
+                    s = s - Lm[i][j] * y[j]
+                y[i] = s / Lm[i][i]
+            return y
+
+        def back_sub(y):
+            x = [None] * nd
+            for i in reversed(range(nd)):
+                s = y[i]
+                for j in range(i + 1, nd):
+                    s = s - Lm[j][i] * x[j]
+                x[i] = s / Lm[i][i]
+            return x
+
+        qdd = back_sub(fwd_sub(rhs))
+
+        q_new, u = [], []
+        for d in range(nd):
+            v = qd[d] + dt_s * qdd[d]
+            p = q[d] + dt_s * v
+            at_lo = p < float(lo[d])
+            at_hi = p > float(hi[d])
+            p = jnp.clip(p, float(lo[d]), float(hi[d]))
+            v = jnp.where(at_lo, jnp.maximum(v, 0.0), v)
+            v = jnp.where(at_hi, jnp.minimum(v, 0.0), v)
+            q_new.append(p)
+            u.append(v)
+            qn_ref[d] = p
+
+        fp2, fq2, axes2 = fk(q_new)
+
+        # ------------------- ball stage -------------------
+        pos = (bp_ref[0], bp_ref[1], bp_ref[2])
+        vel = (bv_ref[0] + gx * dt_s, bv_ref[1] + gy * dt_s, bv_ref[2] + gz * dt_s)
+
+        # ground plane (z = 0, normal +z)
+        e, mu = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0))), \
+                0.5 * (mu_ball + float(ball_cfg.get("plane_mu", 1.0)))
+        dist = pos[2] - rb_
+        vel, push, dv = _resolve_static(vel, dist, (zero, zero, zero + 1.0), e, mu)
+        pos = _add(pos, push)
+        imp_x, imp_y, imp_z = [_scale(dv, 1.0 / inv_mb)[i] for i in range(3)]
+
+        # static world geoms (table top, net, base-welded humanoid bodies)
+        for g in static_geoms:
+            gp = tuple(float(v) for v in g["pos"])
+            gq = tuple(float(v) for v in g["quat"])
+            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
+            kind_s = int(g["kind"])
+            if kind_s == U.GEOM_SPHERE:
+                d2 = _dot(c_local, c_local)
+                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                n_local = _scale(c_local, 1.0 / dn)
+                dist = dn - float(g["size"][0]) - rb_
+            elif kind_s == U.GEOM_BOX:
+                dist, n_local = _sphere_box_local(c_local, g["size"])
+            else:
+                dist, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
+            n = _qrot(gq, n_local)
+            e = 0.5 * (e_ball + float(g["e"]))
+            mu = 0.5 * (mu_ball + float(g["mu"]))
+            vel, push, dv = _resolve_static(vel, dist, n, e, mu)
+            pos = _add(pos, push)
+            imp_x = imp_x + dv[0] / inv_mb
+            imp_y = imp_y + dv[1] / inv_mb
+            imp_z = imp_z + dv[2] / inv_mb
+        imp_ref[ng * 3 + 0] = imp_x
+        imp_ref[ng * 3 + 1] = imp_y
+        imp_ref[ng * 3 + 2] = imp_z
+
+        # articulated geoms with joint-space reactions
+        for gi, g in enumerate(art_geoms):
+            link = int(g["link"])
+            op = tuple(float(v) for v in g["off_pos"])
+            oq = tuple(float(v) for v in g["off_quat"])
+            gp = _add(fp2[link], _qrot(fq2[link], op))
+            gq = _qmul(fq2[link], oq)
+            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
+            kind = int(g["kind"])
+            if kind == U.GEOM_SPHERE:
+                d2 = _dot(c_local, c_local)
+                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                inv = 1.0 / dn
+                n_local = _scale(c_local, inv)
+                dist = dn - float(g["size"][0]) - rb_
+            elif kind == U.GEOM_BOX:
+                dist, n_local = _sphere_box_local(c_local, g["size"])
+            else:
+                dist, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
+            n = _qrot(gq, n_local)
+
+            # contact point + its Jacobian columns (linear part only)
+            cp = _sub(pos, _scale(n, rb_))
+            Jcols = []
+            for i in range(nd):
+                if mask[link, i]:
+                    Jcols.append(_cross(axes2[i], _sub(cp, fp2[i])))
+                else:
+                    Jcols.append(None)
+
+            def JT_dot(vec):   # J^T vec -> length-nd list
+                out = []
+                for i in range(nd):
+                    out.append(_dot(Jcols[i], vec) if Jcols[i] is not None else zero)
+                return out
+
+            # v_point = J u
+            v_point = (zero, zero, zero)
+            for i in range(nd):
+                if Jcols[i] is not None:
+                    v_point = _add(v_point, _scale(Jcols[i], u[i]))
+
+            v_rel = _sub(vel, v_point)
+            vn = _dot(v_rel, n)
+            active = (dist < 0.0) & (vn < 0.0)
+            e = 0.5 * (e_ball + float(g["e"]))
+            mu = 0.5 * (mu_ball + float(g["mu"]))
+            e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+
+            yn = fwd_sub(JT_dot(n))
+            w_n = inv_mb + sum(v * v for v in yn)
+            Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
+
+            vt = _sub(v_rel, _scale(n, vn))
+            vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+            inv_vt = 1.0 / vt_n
+            t_hat = _scale(vt, inv_vt)
+            yt = fwd_sub(JT_dot(t_hat))
+            w_t = inv_mb + sum(v * v for v in yt)
+            Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
+
+            P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+            vel = _add(vel, _scale(P, inv_mb))
+            du = back_sub([yn[i] * (-Pn) + yt[i] * Pt for i in range(nd)])
+            for i in range(nd):
+                u[i] = u[i] + du[i]
+            pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
+            imp_ref[gi * 3 + 0] = -P[0]
+            imp_ref[gi * 3 + 1] = -P[1]
+            imp_ref[gi * 3 + 2] = -P[2]
+
+        for d in range(nd):
+            qdn_ref[d] = u[d]
+        bpn_ref[0] = pos[0] + vel[0] * dt_s
+        bpn_ref[1] = pos[1] + vel[1] * dt_s
+        bpn_ref[2] = pos[2] + vel[2] * dt_s
+        bvn_ref[0] = vel[0]
+        bvn_ref[1] = vel[1]
+        bvn_ref[2] = vel[2]
+
+    def run(q, qd, targets, efforts, ball_pos, ball_vel) -> FusedStepOutputs:
+        B = q.shape[0]
+        assert B % LANE == 0
+        R = B // LANE
+        rb = min(rows_per_block, R)
+        while R % rb:
+            rb -= 1
+
+        def to_chan(x, n):
+            return jnp.transpose(x, (1, 0)).reshape(n, R, LANE)
+
+        grid = (R // rb,)
+        chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+        nimp = ng * 3 + 3
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[chan(nd)] * 4 + [chan(3), chan(3)],
+            out_specs=(chan(nd), chan(nd), chan(nd), chan(3), chan(3), chan(nimp)),
+            out_shape=(
+                jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((3, R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((3, R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((nimp, R, LANE), jnp.float32),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd), to_chan(efforts, nd),
+          to_chan(ball_pos, 3), to_chan(ball_vel, 3))
+
+        def from_chan(x, n):
+            return jnp.transpose(x.reshape(n, B), (1, 0))
+
+        return FusedStepOutputs(
+            q_new=from_chan(outs[0], nd),
+            qd_new=from_chan(outs[1], nd),
+            tau=from_chan(outs[2], nd),
+            ball_pos=from_chan(outs[3], 3),
+            ball_vel=from_chan(outs[4], 3),
+            impulses=from_chan(outs[5], ng * 3 + 3).reshape(B, ng + 1, 3),
+        )
+
+    return jax.jit(run)

@@ -136,14 +136,15 @@ class Simulator:
                 ))
             self.art_groups[art_idx] = groups
 
-    def _maybe_build_pallas(self) -> None:
+    def _maybe_build_pallas(self, force: bool = False) -> None:
         """Build fused Pallas articulation kernels when the scene qualifies:
         TPU backend, fixed-base all-revolute articulations (the pingpong hot
-        path), PD/effort drive, no terrain-free special cases needed."""
+        path), PD/effort drive. ``force=True`` builds them on CPU too
+        (interpret mode; used by parity tests)."""
         import os
-        if os.environ.get("ISAACGYM_TPU_PALLAS", "1") == "0":
+        if os.environ.get("ISAACGYM_TPU_PALLAS", "1") == "0" and not force:
             return
-        if jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" and not force:
             return
         from isaacgym_tpu.ops import pallas_dynamics as PDK
         scene = self.scene
@@ -160,6 +161,62 @@ class Simulator:
                 slot.stiffness, slot.damping,
                 np.asarray(self.gravity), self.dt / self.substeps))
         self._pallas_kernels = kernels
+        self._fused = None
+        self._maybe_build_fused()
+
+    def _maybe_build_fused(self) -> None:
+        """Fully-fused substep (dynamics + ball contacts in ONE kernel) for
+        single-humanoid + single-ball scenes with a flat ground — the
+        flagship pingpong family. Base-welded humanoid geoms fold into the
+        static contact list (their world pose is a scene constant under a
+        fixed base); per-body ncf on those bodies is lumped into the ball
+        row on this path."""
+        from isaacgym_tpu.ops import pallas_dynamics as PDK
+        scene = self.scene
+        if (len(scene.articulations) != 1 or len(scene.free_bodies) != 1
+                or scene.spec.terrain is not None or scene.spec.plane is None):
+            return
+        slot = scene.articulations[0]
+        ball = scene.free_bodies[0]
+        tree = slot.model.tree
+        init = scene.initial_root[slot.actor_index]
+        base_pos, base_quat = init[0:3], init[3:7]
+
+        static_list = []
+        for g in scene.static_geoms:
+            sroot = scene.initial_root[g.actor_index]
+            gp, gq = _compose(sroot[0:3], sroot[3:7], g.local_pos, g.local_quat)
+            static_list.append(dict(kind=g.kind, pos=gp, quat=gq, size=g.size,
+                                    e=g.restitution, mu=g.friction))
+        art_list, art_bodies = [], []
+        for g in scene.art_geoms:
+            link = int(tree.body_ref_dof[g.body_index])
+            offp, offq = _compose(tree.body_ref_pos[g.body_index],
+                                  tree.body_ref_quat[g.body_index],
+                                  g.local_pos, g.local_quat)
+            if link < 0:
+                # welded to the (fixed) base: world pose is a constant
+                wp, wq = _compose(base_pos, base_quat, offp, offq)
+                static_list.append(dict(kind=g.kind, pos=wp, quat=wq, size=g.size,
+                                        e=g.restitution, mu=g.friction))
+            else:
+                art_list.append(dict(kind=g.kind, link=link, off_pos=offp,
+                                     off_quat=offq, size=g.size,
+                                     e=g.restitution, mu=g.friction))
+                art_bodies.append(slot.body_start + g.body_index)
+
+        plane = scene.spec.plane
+        ball_cfg = dict(mass=ball.mass, radius=ball.radius,
+                        restitution=ball.restitution, friction=ball.friction,
+                        plane_e=plane.restitution, plane_mu=plane.dynamic_friction)
+        self._fused = PDK.build_fused_substep(
+            slot.model, base_pos, base_quat, slot.stiffness, slot.damping,
+            np.asarray(self.gravity), self.dt / self.substeps,
+            ball_cfg, static_list, art_list,
+            bounce_threshold=self.bounce_threshold)
+        self._fused_slot = slot
+        self._fused_ball = ball
+        self._fused_art_bodies = np.asarray(art_bodies)
 
     def step(self, state: SimState, targets, efforts) -> SimState:
         """Batched step; routes to the fused Pallas path when eligible."""
@@ -171,9 +228,37 @@ class Simulator:
     def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
         dt_s = self.dt / self.substeps
         state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
+        sub = self._substep_fused if self._fused is not None else self._substep_pallas
         for _ in range(self.substeps):
-            state = self._substep_pallas(state, targets, efforts, dt_s)
+            state = sub(state, targets, efforts, dt_s)
         return state
+
+    def _substep_fused(self, state: SimState, targets, efforts, dt_s) -> SimState:
+        """The entire substep as ONE Pallas kernel (see _maybe_build_fused)."""
+        slot, ball = self._fused_slot, self._fused_ball
+        sl = slice(slot.dof_start, slot.dof_end)
+        root = state.root
+        out = self._fused(
+            state.dof_pos[:, sl], state.dof_vel[:, sl],
+            targets[:, sl], efforts[:, sl],
+            root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10])
+        root = root.at[:, ball.actor_index, 0:3].set(out.ball_pos)
+        root = root.at[:, ball.actor_index, 7:10].set(out.ball_vel)
+        ncf = state.net_contact_force
+        ng = len(self._fused_art_bodies)
+        inv_dt = 1.0 / self.dt
+        if ng:
+            ncf = ncf.at[:, jnp.asarray(self._fused_art_bodies)].add(
+                out.impulses[:, :ng] * inv_dt)
+        ball_imp = out.impulses[:, ng] - out.impulses[:, :ng].sum(axis=1)
+        ncf = ncf.at[:, ball.body_start].add(ball_imp * inv_dt)
+        return SimState(
+            root=root,
+            dof_pos=state.dof_pos.at[:, sl].set(out.q_new),
+            dof_vel=state.dof_vel.at[:, sl].set(out.qd_new),
+            dof_force=state.dof_force.at[:, sl].set(out.tau),
+            net_contact_force=ncf,
+        )
 
     def _substep_pallas(self, state: SimState, targets, efforts, dt_s) -> SimState:
         """Articulation dynamics via the fused Pallas kernel (ONE TPU kernel

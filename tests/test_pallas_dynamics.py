@@ -111,3 +111,40 @@ def test_kernel_energy_sane_trajectory(setup):
         q, qd = out.q_new, out.qd_new
     assert np.isfinite(np.asarray(q)).all()
     assert np.abs(np.asarray(qd)).max() < 50.0
+
+
+def test_fused_substep_matches_xla_path():
+    """The fully-fused kernel (dynamics + ball contacts) must match the
+    vmapped XLA step statistically over a real C7 rollout segment."""
+    import sys
+    sys.path.insert(0, ".")
+    from tests.test_simulator import _pingpong_scene
+    from isaacgym_tpu.sim.scene import compile_scene
+    from isaacgym_tpu.sim.simulator import Simulator
+
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused is not None
+
+    B = 128
+    state0 = sim.initial_state(B)
+    v0 = jnp.asarray([-5.0, 0.3, 1.8])
+    state0 = state0._replace(root=state0.root.at[:, 2, 7:10].set(v0))
+    tgt = jnp.full((B, 7), 0.2)
+    eff = jnp.zeros((B, 7))
+
+    fused_step = jax.jit(sim._step_batched_pallas)
+    xla_step = jax.jit(sim._step_vmapped)
+
+    sf = sx = state0
+    for _ in range(40):
+        sf = fused_step(sf, tgt, eff)
+        sx = xla_step(sx, tgt, eff)
+
+    # trajectories agree closely before chaotic contact divergence dominates
+    np.testing.assert_allclose(np.asarray(sf.dof_pos), np.asarray(sx.dof_pos), atol=5e-3)
+    ball_f = np.asarray(sf.root[:, 2, 0:3])
+    ball_x = np.asarray(sx.root[:, 2, 0:3])
+    np.testing.assert_allclose(ball_f, ball_x, atol=5e-2)
+    assert np.isfinite(np.asarray(sf.net_contact_force)).all()
