@@ -127,6 +127,10 @@ def _sym_mat_vec(Iw, v):
     return tuple(Iw[i][0] * v[0] + Iw[i][1] * v[1] + Iw[i][2] * v[2] for i in range(3))
 
 
+def _scale3x(v, s):
+    return (v[0] * s, v[1] * s, v[2] * s)
+
+
 # ---------------------------------------------------------------------------
 # kernel factory
 # ---------------------------------------------------------------------------
@@ -426,7 +430,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                         kp, kd, gravity, dt_s: float,
                         ball_cfg: dict, static_geoms: list, art_geoms: list,
                         bounce_threshold: float = 0.2,
-                        rows_per_block: int = 8):
+                        rows_per_block: int = 8,
+                        with_dr: bool = False):
     """One Pallas kernel for the ENTIRE substep of a single-humanoid pingpong
     scene: PD -> dynamics -> integrate -> post FK -> ball gravity -> plane /
     static-box / articulated-geom impulse contacts (with joint-space
@@ -440,6 +445,11 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 
     Contact material combine = average (PhysX default), restitution gated by
     ``bounce_threshold`` — identical to ops.contacts.
+
+    ``with_dr=True`` adds a per-env randomization channel input packing
+    [kp_scale(nd), kd_scale(nd), lower_shift(nd), upper_shift(nd),
+    mass_scale(1), gravity_offset(3), friction_scale(1),
+    restitution_scale(1)] (see env/randomize.DRParams).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -553,15 +563,41 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
         return vel2, push, dv
 
-    def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref,
-               qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref):
+    def kernel(*refs):
+        if with_dr:
+            (q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref, dr_ref,
+             qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref) = refs
+        else:
+            (q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref,
+             qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref) = refs
+            dr_ref = None
         q = [q_ref[d] for d in range(nd)]
         qd = [qd_ref[d] for d in range(nd)]
         zero = jnp.zeros_like(q[0])
+        one = zero + 1.0
+
+        # per-env randomization channels (identity when DR off)
+        if with_dr:
+            kps = [dr_ref[d] for d in range(nd)]
+            kds = [dr_ref[nd + d] for d in range(nd)]
+            losh = [dr_ref[2 * nd + d] for d in range(nd)]
+            hish = [dr_ref[3 * nd + d] for d in range(nd)]
+            ms = dr_ref[4 * nd]
+            g_eff = (gx + dr_ref[4 * nd + 1], gy + dr_ref[4 * nd + 2],
+                     gz + dr_ref[4 * nd + 3])
+            fric_s = dr_ref[4 * nd + 4]
+            rest_s = dr_ref[4 * nd + 5]
+        else:
+            kps = kds = [one] * nd
+            losh = hish = [zero] * nd
+            ms = one
+            g_eff = (zero + gx, zero + gy, zero + gz)
+            fric_s = rest_s = one
 
         tau = []
         for d in range(nd):
-            t_d = float(kp[d]) * (tgt_ref[d] - q[d]) - float(kd[d]) * qd[d] + eff_ref[d]
+            t_d = (float(kp[d]) * kps[d] * (tgt_ref[d] - q[d])
+                   - float(kd[d]) * kds[d] * qd[d] + eff_ref[d])
             t_d = jnp.clip(t_d, -float(effort[d]), float(effort[d]))
             tau.append(t_d)
             tau_ref[d] = t_d
@@ -592,10 +628,11 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             rc = _sub(com_w[l], fp[l])
             a_com = _add(ao_list[l], _add(_cross(wd_list[l], rc),
                                           _cross(w_list[l], _cross(w_list[l], rc))))
-            f_list.append(_scale((a_com[0] - gx, a_com[1] - gy, a_com[2] - gz), float(m_l[l])))
+            f_list.append(_scale((a_com[0] - g_eff[0], a_com[1] - g_eff[1],
+                                  a_com[2] - g_eff[2]), float(m_l[l]) * ms))
             Iw = I_w[l]
-            n_list.append(_add(_sym_mat_vec(Iw, wd_list[l]),
-                               _cross(w_list[l], _sym_mat_vec(Iw, w_list[l]))))
+            n_list.append(_scale3x(_add(_sym_mat_vec(Iw, wd_list[l]),
+                                        _cross(w_list[l], _sym_mat_vec(Iw, w_list[l]))), ms))
 
         Jlin = [[None] * nd for _ in range(nd)]
         for l in range(nd):
@@ -619,6 +656,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                     if mask[l, i] and mask[l, j]:
                         acc = (acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
                                + float(m_l[l]) * _dot(Jlin[l][i], Jlin[l][j]))
+                acc = acc * ms
                 if i == j:
                     acc = acc + float(armature[i])
                 M[i][j] = acc
@@ -661,9 +699,11 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         for d in range(nd):
             v = qd[d] + dt_s * qdd[d]
             p = q[d] + dt_s * v
-            at_lo = p < float(lo[d])
-            at_hi = p > float(hi[d])
-            p = jnp.clip(p, float(lo[d]), float(hi[d]))
+            lo_d = float(lo[d]) + losh[d]
+            hi_d = float(hi[d]) + hish[d]
+            at_lo = p < lo_d
+            at_hi = p > hi_d
+            p = jnp.clip(p, lo_d, hi_d)
             v = jnp.where(at_lo, jnp.maximum(v, 0.0), v)
             v = jnp.where(at_hi, jnp.minimum(v, 0.0), v)
             q_new.append(p)
@@ -674,7 +714,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 
         # ------------------- ball stage -------------------
         pos = (bp_ref[0], bp_ref[1], bp_ref[2])
-        vel = (bv_ref[0] + gx * dt_s, bv_ref[1] + gy * dt_s, bv_ref[2] + gz * dt_s)
+        vel = (bv_ref[0] + g_eff[0] * dt_s, bv_ref[1] + g_eff[1] * dt_s,
+               bv_ref[2] + g_eff[2] * dt_s)
 
         # ground plane (z = 0, normal +z)
         e, mu = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0))), \
@@ -756,8 +797,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             v_rel = _sub(vel, v_point)
             vn = _dot(v_rel, n)
             active = (dist < 0.0) & (vn < 0.0)
-            e = 0.5 * (e_ball + float(g["e"]))
-            mu = 0.5 * (mu_ball + float(g["mu"]))
+            e = 0.5 * (e_ball + float(g["e"]) * rest_s)
+            mu = 0.5 * (mu_ball + float(g["mu"]) * fric_s)
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
 
             yn = fwd_sub(JT_dot(n))
@@ -791,7 +832,9 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         bvn_ref[1] = vel[1]
         bvn_ref[2] = vel[2]
 
-    def run(q, qd, targets, efforts, ball_pos, ball_vel) -> FusedStepOutputs:
+    ndr = 4 * nd + 6
+
+    def run(q, qd, targets, efforts, ball_pos, ball_vel, dr_chan=None) -> FusedStepOutputs:
         B = q.shape[0]
         assert B % LANE == 0
         R = B // LANE
@@ -806,10 +849,16 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
         nimp = ng * 3 + 3
+        in_specs = [chan(nd)] * 4 + [chan(3), chan(3)]
+        inputs = [to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd),
+                  to_chan(efforts, nd), to_chan(ball_pos, 3), to_chan(ball_vel, 3)]
+        if with_dr:
+            in_specs.append(chan(ndr))
+            inputs.append(to_chan(dr_chan, ndr))
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[chan(nd)] * 4 + [chan(3), chan(3)],
+            in_specs=in_specs,
             out_specs=(chan(nd), chan(nd), chan(nd), chan(3), chan(3), chan(nimp)),
             out_shape=(
                 jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
@@ -820,8 +869,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 jax.ShapeDtypeStruct((nimp, R, LANE), jnp.float32),
             ),
             interpret=jax.default_backend() == "cpu",
-        )(to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd), to_chan(efforts, nd),
-          to_chan(ball_pos, 3), to_chan(ball_vel, 3))
+        )(*inputs)
 
         def from_chan(x, n):
             return jnp.transpose(x.reshape(n, B), (1, 0))

@@ -82,7 +82,7 @@ class Simulator:
         self._build_geom_groups()
         self._step_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0))
         # step with per-env domain-randomization params (env/randomize.py)
-        self.step_dr = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0))
+        self._step_dr_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0))
         self.rigid_body_states = jax.vmap(self._rigid_body_states_single)
         self._pallas_kernels = None
         self._maybe_build_pallas()
@@ -214,6 +214,11 @@ class Simulator:
             np.asarray(self.gravity), self.dt / self.substeps,
             ball_cfg, static_list, art_list,
             bounce_threshold=self.bounce_threshold)
+        self._fused_dr = PDK.build_fused_substep(
+            slot.model, base_pos, base_quat, slot.stiffness, slot.damping,
+            np.asarray(self.gravity), self.dt / self.substeps,
+            ball_cfg, static_list, art_list,
+            bounce_threshold=self.bounce_threshold, with_dr=True)
         self._fused_slot = slot
         self._fused_ball = ball
         self._fused_art_bodies = np.asarray(art_bodies)
@@ -225,6 +230,28 @@ class Simulator:
             return self._step_batched_pallas(state, targets, efforts)
         return self._step_vmapped(state, targets, efforts)
 
+    def step_dr(self, state: SimState, targets, efforts, dr) -> SimState:
+        """Domain-randomized batched step; uses the DR-aware fused kernel
+        when eligible (base-welded geom materials stay unrandomized on this
+        path — they are folded as compile-time constants)."""
+        if (getattr(self, "_fused_dr", None) is not None
+                and state.root.shape[0] % 128 == 0):
+            dt_s = self.dt / self.substeps
+            state = state._replace(
+                net_contact_force=jnp.zeros_like(state.net_contact_force))
+            sl = slice(self._fused_slot.dof_start, self._fused_slot.dof_end)
+            dr_chan = jnp.concatenate([
+                dr.kp_scale[:, sl], dr.kd_scale[:, sl],
+                dr.lower_shift[:, sl], dr.upper_shift[:, sl],
+                dr.mass_scale[:, None], dr.gravity_offset,
+                dr.friction_scale[:, None], dr.restitution_scale[:, None],
+            ], axis=1)
+            for _ in range(self.substeps):
+                state = self._substep_fused(state, targets, efforts, dt_s,
+                                            dr_chan=dr_chan)
+            return state
+        return self._step_dr_vmapped(state, targets, efforts, dr)
+
     def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
         dt_s = self.dt / self.substeps
         state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
@@ -233,15 +260,23 @@ class Simulator:
             state = sub(state, targets, efforts, dt_s)
         return state
 
-    def _substep_fused(self, state: SimState, targets, efforts, dt_s) -> SimState:
+    def _substep_fused(self, state: SimState, targets, efforts, dt_s,
+                       dr_chan=None) -> SimState:
         """The entire substep as ONE Pallas kernel (see _maybe_build_fused)."""
         slot, ball = self._fused_slot, self._fused_ball
         sl = slice(slot.dof_start, slot.dof_end)
         root = state.root
-        out = self._fused(
-            state.dof_pos[:, sl], state.dof_vel[:, sl],
-            targets[:, sl], efforts[:, sl],
-            root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10])
+        if dr_chan is None:
+            out = self._fused(
+                state.dof_pos[:, sl], state.dof_vel[:, sl],
+                targets[:, sl], efforts[:, sl],
+                root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10])
+        else:
+            out = self._fused_dr(
+                state.dof_pos[:, sl], state.dof_vel[:, sl],
+                targets[:, sl], efforts[:, sl],
+                root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10],
+                dr_chan)
         root = root.at[:, ball.actor_index, 0:3].set(out.ball_pos)
         root = root.at[:, ball.actor_index, 7:10].set(out.ball_vel)
         ncf = state.net_contact_force

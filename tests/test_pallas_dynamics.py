@@ -148,3 +148,51 @@ def test_fused_substep_matches_xla_path():
     ball_x = np.asarray(sx.root[:, 2, 0:3])
     np.testing.assert_allclose(ball_f, ball_x, atol=5e-2)
     assert np.isfinite(np.asarray(sf.net_contact_force)).all()
+
+
+def test_fused_dr_kernel_matches_identity_and_responds_to_scales():
+    """DR-aware fused kernel: identity params == plain fused; kp scaling
+    changes the trajectory; limit shifts clamp differently."""
+    import sys
+    sys.path.insert(0, ".")
+    from tests.test_simulator import _pingpong_scene
+    from isaacgym_tpu.sim.scene import compile_scene
+    from isaacgym_tpu.sim.simulator import Simulator
+    from isaacgym_tpu.env.randomize import identity_params
+
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused_dr is not None
+
+    B = 128
+    state0 = sim.initial_state(B)
+    tgt = jnp.full((B, 7), 0.4)
+    eff = jnp.zeros((B, 7))
+    idp = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                       identity_params(7))
+
+    step_plain = jax.jit(lambda s: sim._step_batched_pallas(s, tgt, eff))
+    step_dr = jax.jit(lambda s, d: sim.step_dr(s, tgt, eff, d))
+
+    s_plain = step_plain(state0)
+    s_ident = step_dr(state0, idp)
+    np.testing.assert_allclose(np.asarray(s_ident.dof_pos),
+                               np.asarray(s_plain.dof_pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_ident.root[:, 2]),
+                               np.asarray(s_plain.root[:, 2]), atol=1e-5)
+
+    # doubled kp -> faster approach to the target
+    dp = idp._replace(kp_scale=idp.kp_scale * 2.0)
+    s_fast = step_dr(state0, dp)
+    for _ in range(10):
+        s_ident = step_dr(s_ident, idp)
+        s_fast = step_dr(s_fast, dp)
+    d_ident = np.abs(np.asarray(s_ident.dof_pos) - 0.0)
+    assert (np.asarray(s_fast.dof_pos)[:, 0] - np.asarray(s_ident.dof_pos)[:, 0]).mean() != 0.0
+
+    # strong negative upper shift clamps q below the plain trajectory
+    dshift = idp._replace(upper_shift=idp.upper_shift - 10.0,
+                          lower_shift=idp.lower_shift - 10.0)
+    s_clamped = step_dr(state0, dshift)
+    assert np.asarray(s_clamped.dof_pos).max() < np.asarray(s_plain.dof_pos).max() + 1e-6
