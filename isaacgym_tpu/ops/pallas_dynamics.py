@@ -1,9 +1,17 @@
-"""Fused articulated-dynamics Pallas TPU kernel (the hot op).
+"""Fused articulated-physics Pallas TPU kernels (the hot ops).
 
-Replaces ~400 small XLA kernels per substep (FK chains, Jacobian einsums,
-jvp bias, batched Cholesky, integration) with ONE Pallas kernel for the
-fixed-base all-revolute case (the 7-DOF pingpong arm — the framework's hot
-path; floating-base/prismatic articulations keep the XLA path).
+Two kernels replace the ~400 small XLA kernels per substep for fixed-base
+all-revolute articulations (the pingpong arm — the framework's hot path;
+floating-base/prismatic articulations keep the XLA path):
+
+  * ``build_arm_step`` — dynamics only (used for multi-articulation scenes,
+    contacts stay in the vmapped XLA phase consuming the exported frames and
+    packed Cholesky factor);
+  * ``build_fused_substep`` — the ENTIRE substep: dynamics + every ball
+    contact (ground/table/net/humanoid geoms) with joint-space reactions
+    through the in-kernel factor, plus optional per-env domain-randomization
+    channels. Single-humanoid single-ball scenes run on this (~11M
+    env-steps/s at 4096 envs on one v5e chip).
 
 Design (see /opt/skills/guides/pallas_guide.md):
   * data layout (nd, B//128, 128): each per-DOF channel is a full
