@@ -32,7 +32,7 @@ tests/test_pallas_dynamics.py.
 
 from __future__ import annotations
 
-import math
+
 from typing import NamedTuple, Tuple
 
 import numpy as np

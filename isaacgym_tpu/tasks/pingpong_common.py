@@ -72,8 +72,24 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
         fixed_base=False, restitution=sc["ballRestitution"], friction=sc["ballFriction"],
     ))
     plane_cfg = env_cfg.get("plane", {})
+    # heightfield terrain from an npy path (reference plane.terrain key +
+    # _create_trimesh, .../no_earlystop.py:359-377); self.terrain is None in
+    # the reference tasks, so this is opt-in here too
+    terrain = None
+    terrain_path = plane_cfg.get("terrain")
+    if terrain_path and os.path.exists(str(terrain_path)):
+        from isaacgym_tpu.models.terrain import Heightfield
+        raw = np.load(str(terrain_path)).T
+        terrain = Heightfield.from_raw(
+            raw,
+            horizontal_scale=float(plane_cfg.get("horizontal_scale", 0.015)),
+            vertical_scale=0.75 if env_cfg.get("is_g1") else 1.0,
+            transform_x=float(plane_cfg.get("transform_x", 0.0)),
+            transform_y=float(plane_cfg.get("transform_y", 0.0)),
+        )
     return SceneSpec(
         actors=actors,
+        terrain=terrain,
         plane=PlaneParams(
             static_friction=plane_cfg.get("staticFriction", 1.0),
             dynamic_friction=plane_cfg.get("dynamicFriction", 1.0),

@@ -74,3 +74,47 @@ def test_heightmap_observations():
     # root at origin: points with x<0 sample height 0, obs = 0 - 0.9 + 0.9 = 0
     assert np.isfinite(np.asarray(obs)).all()
     assert np.asarray(obs).min() >= -0.01 and np.asarray(obs).max() <= 1.01
+
+
+def test_c7_env_with_terrain():
+    """A full task env running on heightfield terrain instead of the flat
+    plane (the reference's _create_trimesh path, N5 integrated)."""
+    import isaacgym_tpu
+    from isaacgym_tpu.utils.config import load_task_config
+    from isaacgym_tpu.tasks import task_registry
+
+    hf = np.zeros((64, 64), np.float32)
+    field = T.Heightfield(heights=hf, origin=np.asarray([-8.0, -8.0], np.float32), scale=0.5)
+
+    cfg = load_task_config("HumanoidPingpongTiltNoEarlyStopG1")
+    cfg["env"]["numEnvs"] = 2
+    cfg["env"]["episodeLength"] = 12
+    env = task_registry()["HumanoidPingpongTiltNoEarlyStopG1"](cfg, seed=0)
+    # inject terrain into the compiled scene spec (flat field == plane here)
+    env.scene.spec.terrain = field
+    env.sim.scene.spec.terrain = field
+    state, obs = env.reset()
+    for _ in range(6):
+        state, obs, rew, done, info = env.step(state, jnp.zeros((2, 7)))
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_terrain_from_config_npy(tmp_path):
+    """plane.terrain npy path -> Heightfield in the scene (reference key)."""
+    import isaacgym_tpu
+    from isaacgym_tpu.utils.config import load_task_config
+    from isaacgym_tpu.tasks import task_registry
+
+    npy = tmp_path / "height_map.npy"
+    np.save(npy, np.zeros((128, 128), np.float32))
+    cfg = load_task_config("HumanoidPingpongTiltNoEarlyStopG1")
+    cfg["env"]["numEnvs"] = 2
+    cfg["env"]["episodeLength"] = 8
+    cfg["env"]["plane"]["terrain"] = str(npy)
+    cfg["env"]["plane"]["transform_x"] = -0.5
+    cfg["env"]["plane"]["transform_y"] = -0.5
+    env = task_registry()["HumanoidPingpongTiltNoEarlyStopG1"](cfg, seed=0)
+    assert env.scene.spec.terrain is not None
+    state, obs = env.reset()
+    state, obs, rew, done, info = env.step(state, jnp.zeros((2, 7)))
+    assert np.isfinite(np.asarray(obs)).all()
