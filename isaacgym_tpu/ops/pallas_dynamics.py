@@ -892,3 +892,423 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         )
 
     return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# multi-articulation / multi-ball fused substep (C8 two-robot class scenes)
+# ---------------------------------------------------------------------------
+
+def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
+                              art_geoms: list, gravity, dt_s: float,
+                              bounce_threshold: float = 0.2,
+                              rows_per_block: int = 8):
+    """Fully-fused substep for K fixed-base revolute articulations and M free
+    balls (the 4/5-actor scenes). Same physics as
+    :func:`build_fused_substep`, generalized:
+
+      * ``arts``: list of dict(model, base_pos, base_quat, kp, kd); DOF
+        channels are concatenated in list order.
+      * ``balls``: list of dict(mass, radius, e, mu, plane_e, plane_mu);
+        ball channels are pos0,vel0,pos1,vel1,...
+      * ``art_geoms`` entries carry an ``art`` index; every ball tests every
+        geom. Impulse outputs: ng rows (impulse on each geom body, summed
+        over balls) + one row per ball (its plane/static impulse total).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(arts)
+    NB = len(balls)
+    nds = [a["model"].tree.n_dof for a in arts]
+    nd_tot = sum(nds)
+    offs = np.cumsum([0] + nds)[:-1]
+    for a in arts:
+        assert supports(a["model"]) and a["model"].tree.n_dof <= 12
+    gx, gy, gz = [float(v) for v in gravity]
+    ng = len(art_geoms)
+
+    consts = []
+    for a in arts:
+        tree = a["model"].tree
+        consts.append(dict(
+            nd=tree.n_dof,
+            parent=[int(p) for p in tree.dof_parent],
+            pre_pos=tree.dof_pre_pos.astype(np.float64),
+            pre_quat=tree.dof_pre_quat.astype(np.float64),
+            axis=tree.dof_axis.astype(np.float64),
+            mask=a["model"].ancestor_mask[:tree.n_dof, :tree.n_dof],
+            m_l=tree.comp_mass.astype(np.float64),
+            com_l=tree.comp_com.astype(np.float64),
+            I_l=a["model"].link_inertia_com[:tree.n_dof].astype(np.float64),
+            armature=a["model"].armature.astype(np.float64),
+            lo=tree.lower.astype(np.float64),
+            hi=tree.upper.astype(np.float64),
+            effort=tree.effort.astype(np.float64),
+            kp=np.asarray(a["kp"], np.float64),
+            kd=np.asarray(a["kd"], np.float64),
+            bp=tuple(float(v) for v in a["base_pos"]),
+            bq=tuple(float(v) for v in a["base_quat"]),
+        ))
+
+    def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref,
+               qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref):
+        zero = jnp.zeros_like(q_ref[0])
+        art_rt = []
+        for ai in range(K):
+            c = consts[ai]
+            nd = c["nd"]
+            o = int(offs[ai])
+            q = [q_ref[o + d] for d in range(nd)]
+            qd = [qd_ref[o + d] for d in range(nd)]
+
+            tau = []
+            for d in range(nd):
+                t_d = (float(c["kp"][d]) * (tgt_ref[o + d] - q[d])
+                       - float(c["kd"][d]) * qd[d] + eff_ref[o + d])
+                t_d = jnp.clip(t_d, -float(c["effort"][d]), float(c["effort"][d]))
+                tau.append(t_d)
+                tau_ref[o + d] = t_d
+
+            def fk_a(q_rows, c=c, nd=nd):
+                fp, fq, axes_w = [], [], []
+                for d in range(nd):
+                    if c["parent"][d] < 0:
+                        pp = tuple(jnp.full_like(q_rows[0], v) for v in c["bp"])
+                        pq = tuple(jnp.full_like(q_rows[0], v) for v in c["bq"])
+                    else:
+                        pp, pq = fp[c["parent"][d]], fq[c["parent"][d]]
+                    jp = _add(pp, _qrot(pq, tuple(float(v) for v in c["pre_pos"][d])))
+                    jq = _qmul(pq, tuple(float(v) for v in c["pre_quat"][d]))
+                    half = 0.5 * q_rows[d]
+                    s_, co = jnp.sin(half), jnp.cos(half)
+                    ax, ay, az = [float(v) for v in c["axis"][d]]
+                    bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, co))
+                    fp.append(jp)
+                    fq.append(bq_d)
+                    axes_w.append(_qrot(bq_d, tuple(float(v) for v in c["axis"][d])))
+                return fp, fq, axes_w
+
+            fp, fq, axes_w = fk_a(q)
+            com_w, I_w = [], []
+            for l in range(nd):
+                com_w.append(_add(fp[l], _qrot(fq[l], tuple(float(v) for v in c["com_l"][l]))))
+                I_w.append(_world_inertia(_rotmat_from_quat(fq[l]), c["I_l"][l]))
+
+            w_list, wd_list, ao_list = [], [], []
+            for d in range(nd):
+                if c["parent"][d] < 0:
+                    w_p = wd_p = ao_p = (zero, zero, zero)
+                    o_p = tuple(jnp.full_like(q[0], v) for v in c["bp"])
+                else:
+                    pd_ = c["parent"][d]
+                    w_p, wd_p, ao_p = w_list[pd_], wd_list[pd_], ao_list[pd_]
+                    o_p = fp[pd_]
+                r = _sub(fp[d], o_p)
+                ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
+                a_w = axes_w[d]
+                w_list.append(_add(w_p, _scale(a_w, qd[d])))
+                wd_list.append(_add(wd_p, _scale(_cross(w_p, a_w), qd[d])))
+                ao_list.append(ao_d)
+
+            f_list, n_list = [], []
+            for l in range(nd):
+                rc = _sub(com_w[l], fp[l])
+                a_com = _add(ao_list[l], _add(_cross(wd_list[l], rc),
+                                              _cross(w_list[l], _cross(w_list[l], rc))))
+                f_list.append(_scale((a_com[0] - gx, a_com[1] - gy, a_com[2] - gz),
+                                     float(c["m_l"][l])))
+                Iw = I_w[l]
+                n_list.append(_add(_sym_mat_vec(Iw, wd_list[l]),
+                                   _cross(w_list[l], _sym_mat_vec(Iw, w_list[l]))))
+
+            Jlin = [[None] * nd for _ in range(nd)]
+            for l in range(nd):
+                for i in range(nd):
+                    if c["mask"][l, i]:
+                        Jlin[l][i] = _cross(axes_w[i], _sub(com_w[l], fp[i]))
+
+            rhs = []
+            for i in range(nd):
+                acc = zero
+                for l in range(nd):
+                    if c["mask"][l, i]:
+                        acc = acc + _dot(axes_w[i], n_list[l]) + _dot(Jlin[l][i], f_list[l])
+                rhs.append(tau[i] - acc)
+
+            M = [[None] * nd for _ in range(nd)]
+            for i in range(nd):
+                for j in range(i + 1):
+                    acc = zero
+                    for l in range(nd):
+                        if c["mask"][l, i] and c["mask"][l, j]:
+                            acc = (acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
+                                   + float(c["m_l"][l]) * _dot(Jlin[l][i], Jlin[l][j]))
+                    if i == j:
+                        acc = acc + float(c["armature"][i])
+                    M[i][j] = acc
+
+            Lm = [[None] * (i + 1) for i in range(nd)]
+            for j in range(nd):
+                s_ = M[j][j]
+                for k2 in range(j):
+                    s_ = s_ - Lm[j][k2] * Lm[j][k2]
+                dia = jnp.sqrt(jnp.maximum(s_, 1e-12))
+                Lm[j][j] = dia
+                inv_d = 1.0 / dia
+                for i in range(j + 1, nd):
+                    s_ = M[i][j]
+                    for k2 in range(j):
+                        s_ = s_ - Lm[i][k2] * Lm[j][k2]
+                    Lm[i][j] = s_ * inv_d
+
+            def fwd_sub(b, Lm=Lm, nd=nd):
+                y = [None] * nd
+                for i in range(nd):
+                    s_ = b[i]
+                    for j in range(i):
+                        s_ = s_ - Lm[i][j] * y[j]
+                    y[i] = s_ / Lm[i][i]
+                return y
+
+            def back_sub(y, Lm=Lm, nd=nd):
+                x = [None] * nd
+                for i in reversed(range(nd)):
+                    s_ = y[i]
+                    for j in range(i + 1, nd):
+                        s_ = s_ - Lm[j][i] * x[j]
+                    x[i] = s_ / Lm[i][i]
+                return x
+
+            qdd = back_sub(fwd_sub(rhs))
+            q_new, u = [], []
+            for d in range(nd):
+                v = qd[d] + dt_s * qdd[d]
+                p = q[d] + dt_s * v
+                at_lo = p < float(c["lo"][d])
+                at_hi = p > float(c["hi"][d])
+                p = jnp.clip(p, float(c["lo"][d]), float(c["hi"][d]))
+                v = jnp.where(at_lo, jnp.maximum(v, 0.0), v)
+                v = jnp.where(at_hi, jnp.minimum(v, 0.0), v)
+                q_new.append(p)
+                u.append(v)
+                qn_ref[o + d] = p
+
+            fp2, fq2, axes2 = fk_a(q_new)
+            art_rt.append(dict(u=u, fp2=fp2, fq2=fq2, axes2=axes2,
+                               fwd_sub=fwd_sub, back_sub=back_sub,
+                               mask=c["mask"], nd=nd, off=o))
+
+        # zero the geom impulse accumulators
+        geom_imp = [[zero, zero, zero] for _ in range(ng)]
+
+        def sphere_box_local(c_local, half, rad):
+            cl = [jnp.clip(c_local[i], -float(half[i]), float(half[i])) for i in range(3)]
+            d = _sub(c_local, tuple(cl))
+            out2 = _dot(d, d)
+            out_dist = jnp.sqrt(jnp.maximum(out2, 1e-18))
+            outside = out2 > 1e-12
+            gaps = [float(half[i]) - jnp.abs(c_local[i]) for i in range(3)]
+            sx = jnp.where(c_local[0] >= 0, 1.0, -1.0)
+            sy = jnp.where(c_local[1] >= 0, 1.0, -1.0)
+            sz = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+            use_x = (gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2])
+            use_y = (~use_x) & (gaps[1] <= gaps[2])
+            use_z = (~use_x) & (~use_y)
+            n_in = (jnp.where(use_x, sx, 0.0), jnp.where(use_y, sy, 0.0),
+                    jnp.where(use_z, sz, 0.0))
+            d_in = -jnp.minimum(gaps[0], jnp.minimum(gaps[1], gaps[2]))
+            inv = 1.0 / out_dist
+            n_out = _scale(d, inv)
+            n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+            return jnp.where(outside, out_dist, d_in) - rad, n
+
+        def sphere_cyl_local(c_local, radius, half_len, rad):
+            r2 = c_local[0] * c_local[0] + c_local[1] * c_local[1]
+            r_xy = jnp.sqrt(jnp.maximum(r2, 1e-18))
+            scale = jnp.minimum(1.0, float(radius) / r_xy)
+            cl = (c_local[0] * scale, c_local[1] * scale,
+                  jnp.clip(c_local[2], -float(half_len), float(half_len)))
+            d = _sub(c_local, cl)
+            out2 = _dot(d, d)
+            out_dist = jnp.sqrt(jnp.maximum(out2, 1e-18))
+            outside = out2 > 1e-12
+            face_gap = float(half_len) - jnp.abs(c_local[2])
+            wall_gap = float(radius) - r_xy
+            zsgn = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+            use_face = face_gap < wall_gap
+            inv_rxy = 1.0 / r_xy
+            n_in = (jnp.where(use_face, 0.0, c_local[0] * inv_rxy),
+                    jnp.where(use_face, 0.0, c_local[1] * inv_rxy),
+                    jnp.where(use_face, zsgn, 0.0))
+            d_in = -jnp.minimum(face_gap, wall_gap)
+            inv = 1.0 / out_dist
+            n_out = _scale(d, inv)
+            n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+            return jnp.where(outside, out_dist, d_in) - rad, n
+
+        for bi, bc in enumerate(balls):
+            rb_ = float(bc["radius"])
+            inv_mb = 1.0 / float(bc["mass"])
+            e_ball = float(bc["restitution"])
+            mu_ball = float(bc["friction"])
+            pos = (bp_ref[3 * bi + 0], bp_ref[3 * bi + 1], bp_ref[3 * bi + 2])
+            vel = (bv_ref[3 * bi + 0] + gx * dt_s,
+                   bv_ref[3 * bi + 1] + gy * dt_s,
+                   bv_ref[3 * bi + 2] + gz * dt_s)
+
+            def resolve_static(vel, dist, n, e, mu):
+                vn = _dot(vel, n)
+                active = (dist < 0.0) & (vn < 0.0)
+                e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+                jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
+                vt = _sub(vel, _scale(n, vn))
+                vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+                jt = jnp.where(active, jnp.minimum(mu * jn, vt_n), 0.0)
+                dv = _sub(_scale(n, jn), _scale(vt, jt / vt_n))
+                push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
+                return _add(vel, dv), push, dv
+
+            e = 0.5 * (e_ball + float(bc.get("plane_e", 0.0)))
+            mu = 0.5 * (mu_ball + float(bc.get("plane_mu", 1.0)))
+            vel, push, dv = resolve_static(vel, pos[2] - rb_, (zero, zero, zero + 1.0), e, mu)
+            pos = _add(pos, push)
+            s_imp = list(_scale(dv, 1.0 / inv_mb))
+
+            for g in static_geoms:
+                gp = tuple(float(v) for v in g["pos"])
+                gq = tuple(float(v) for v in g["quat"])
+                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
+                kind_s = int(g["kind"])
+                if kind_s == U.GEOM_SPHERE:
+                    d2 = _dot(c_local, c_local)
+                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    n_local = _scale(c_local, 1.0 / dn)
+                    dist = dn - float(g["size"][0]) - rb_
+                elif kind_s == U.GEOM_BOX:
+                    dist, n_local = sphere_box_local(c_local, g["size"], rb_)
+                else:
+                    dist, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
+                n = _qrot(gq, n_local)
+                e = 0.5 * (e_ball + float(g["e"]))
+                mu = 0.5 * (mu_ball + float(g["mu"]))
+                vel, push, dv = resolve_static(vel, dist, n, e, mu)
+                pos = _add(pos, push)
+                for i3 in range(3):
+                    s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
+            for i3 in range(3):
+                imp_ref[(ng + bi) * 3 + i3] = s_imp[i3]
+
+            for gi, g in enumerate(art_geoms):
+                rt = art_rt[int(g["art"])]
+                link = int(g["link"])
+                fp2, fq2, axes2 = rt["fp2"], rt["fq2"], rt["axes2"]
+                gp = _add(fp2[link], _qrot(fq2[link], tuple(float(v) for v in g["off_pos"])))
+                gq = _qmul(fq2[link], tuple(float(v) for v in g["off_quat"]))
+                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
+                kind = int(g["kind"])
+                if kind == U.GEOM_SPHERE:
+                    d2 = _dot(c_local, c_local)
+                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    n_local = _scale(c_local, 1.0 / dn)
+                    dist = dn - float(g["size"][0]) - rb_
+                elif kind == U.GEOM_BOX:
+                    dist, n_local = sphere_box_local(c_local, g["size"], rb_)
+                else:
+                    dist, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
+                n = _qrot(gq, n_local)
+                cp = _sub(pos, _scale(n, rb_))
+                nd_a = rt["nd"]
+                Jcols = []
+                for i in range(nd_a):
+                    if rt["mask"][link, i]:
+                        Jcols.append(_cross(axes2[i], _sub(cp, fp2[i])))
+                    else:
+                        Jcols.append(None)
+                v_point = (zero, zero, zero)
+                for i in range(nd_a):
+                    if Jcols[i] is not None:
+                        v_point = _add(v_point, _scale(Jcols[i], rt["u"][i]))
+                v_rel = _sub(vel, v_point)
+                vn = _dot(v_rel, n)
+                active = (dist < 0.0) & (vn < 0.0)
+                e = 0.5 * (e_ball + float(g["e"]))
+                mu = 0.5 * (mu_ball + float(g["mu"]))
+                e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+                JTn = [(_dot(Jcols[i], n) if Jcols[i] is not None else zero)
+                       for i in range(nd_a)]
+                yn = rt["fwd_sub"](JTn)
+                w_n = inv_mb + sum(v * v for v in yn)
+                Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
+                vt = _sub(v_rel, _scale(n, vn))
+                vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+                t_hat = _scale(vt, 1.0 / vt_n)
+                JTt = [(_dot(Jcols[i], t_hat) if Jcols[i] is not None else zero)
+                       for i in range(nd_a)]
+                yt = rt["fwd_sub"](JTt)
+                w_t = inv_mb + sum(v * v for v in yt)
+                Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
+                P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+                vel = _add(vel, _scale(P, inv_mb))
+                du = rt["back_sub"]([yn[i] * (-Pn) + yt[i] * Pt for i in range(nd_a)])
+                for i in range(nd_a):
+                    rt["u"][i] = rt["u"][i] + du[i]
+                pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
+                for i3 in range(3):
+                    geom_imp[gi][i3] = geom_imp[gi][i3] - P[i3]
+
+            bpn_ref[3 * bi + 0] = pos[0] + vel[0] * dt_s
+            bpn_ref[3 * bi + 1] = pos[1] + vel[1] * dt_s
+            bpn_ref[3 * bi + 2] = pos[2] + vel[2] * dt_s
+            bvn_ref[3 * bi + 0] = vel[0]
+            bvn_ref[3 * bi + 1] = vel[1]
+            bvn_ref[3 * bi + 2] = vel[2]
+
+        for gi in range(ng):
+            for i3 in range(3):
+                imp_ref[gi * 3 + i3] = geom_imp[gi][i3]
+        for ai, rt in enumerate(art_rt):
+            for d in range(rt["nd"]):
+                qdn_ref[rt["off"] + d] = rt["u"][d]
+
+    def run(q, qd, targets, efforts, ball_pos, ball_vel):
+        """ball_pos/ball_vel: (B, NB, 3). Returns FusedStepOutputs with
+        ball arrays shaped (B, NB, 3) and impulses (B, ng+NB, 3)."""
+        B = q.shape[0]
+        assert B % LANE == 0
+        R = B // LANE
+        rb = min(rows_per_block, R)
+        while R % rb:
+            rb -= 1
+
+        def to_chan(x, n):
+            return jnp.transpose(x.reshape(B, n), (1, 0)).reshape(n, R, LANE)
+
+        grid = (R // rb,)
+        chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+        nimp = (ng + NB) * 3
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[chan(nd_tot)] * 4 + [chan(3 * NB), chan(3 * NB)],
+            out_specs=(chan(nd_tot), chan(nd_tot), chan(nd_tot),
+                       chan(3 * NB), chan(3 * NB), chan(nimp)),
+            out_shape=tuple(jax.ShapeDtypeStruct((n, R, LANE), jnp.float32)
+                            for n in (nd_tot, nd_tot, nd_tot, 3 * NB, 3 * NB, nimp)),
+            interpret=jax.default_backend() == "cpu",
+        )(to_chan(q, nd_tot), to_chan(qd, nd_tot), to_chan(targets, nd_tot),
+          to_chan(efforts, nd_tot), to_chan(ball_pos, 3 * NB), to_chan(ball_vel, 3 * NB))
+
+        def from_chan(x, n):
+            return jnp.transpose(x.reshape(n, B), (1, 0))
+
+        return FusedStepOutputs(
+            q_new=from_chan(outs[0], nd_tot),
+            qd_new=from_chan(outs[1], nd_tot),
+            tau=from_chan(outs[2], nd_tot),
+            ball_pos=from_chan(outs[3], 3 * NB).reshape(B, NB, 3),
+            ball_vel=from_chan(outs[4], 3 * NB).reshape(B, NB, 3),
+            impulses=from_chan(outs[5], nimp).reshape(B, ng + NB, 3),
+        )
+
+    return jax.jit(run)

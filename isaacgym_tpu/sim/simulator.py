@@ -173,15 +173,15 @@ class Simulator:
         row on this path."""
         from isaacgym_tpu.ops import pallas_dynamics as PDK
         scene = self.scene
-        if (len(scene.articulations) != 1 or len(scene.free_bodies) != 1
+        self._fused_multi = None
+        if (not scene.articulations or not scene.free_bodies
                 or scene.spec.terrain is not None or scene.spec.plane is None):
             return
-        slot = scene.articulations[0]
-        ball = scene.free_bodies[0]
-        tree = slot.model.tree
-        init = scene.initial_root[slot.actor_index]
-        base_pos, base_quat = init[0:3], init[3:7]
+        if any(not PDK.supports(sl.model) or sl.model.tree.n_dof > 12
+               for sl in scene.articulations):
+            return
 
+        plane = scene.spec.plane
         static_list = []
         for g in scene.static_geoms:
             sroot = scene.initial_root[g.actor_index]
@@ -190,38 +190,71 @@ class Simulator:
                                     e=g.restitution, mu=g.friction))
         art_list, art_bodies = [], []
         for g in scene.art_geoms:
+            slot_g = scene.articulations[g.art_index]
+            tree = slot_g.model.tree
+            init = scene.initial_root[slot_g.actor_index]
             link = int(tree.body_ref_dof[g.body_index])
             offp, offq = _compose(tree.body_ref_pos[g.body_index],
                                   tree.body_ref_quat[g.body_index],
                                   g.local_pos, g.local_quat)
             if link < 0:
                 # welded to the (fixed) base: world pose is a constant
-                wp, wq = _compose(base_pos, base_quat, offp, offq)
+                wp, wq = _compose(init[0:3], init[3:7], offp, offq)
                 static_list.append(dict(kind=g.kind, pos=wp, quat=wq, size=g.size,
                                         e=g.restitution, mu=g.friction))
             else:
-                art_list.append(dict(kind=g.kind, link=link, off_pos=offp,
-                                     off_quat=offq, size=g.size,
+                art_list.append(dict(kind=g.kind, art=g.art_index, link=link,
+                                     off_pos=offp, off_quat=offq, size=g.size,
                                      e=g.restitution, mu=g.friction))
-                art_bodies.append(slot.body_start + g.body_index)
-
-        plane = scene.spec.plane
-        ball_cfg = dict(mass=ball.mass, radius=ball.radius,
-                        restitution=ball.restitution, friction=ball.friction,
-                        plane_e=plane.restitution, plane_mu=plane.dynamic_friction)
-        self._fused = PDK.build_fused_substep(
-            slot.model, base_pos, base_quat, slot.stiffness, slot.damping,
-            np.asarray(self.gravity), self.dt / self.substeps,
-            ball_cfg, static_list, art_list,
-            bounce_threshold=self.bounce_threshold)
-        self._fused_dr = PDK.build_fused_substep(
-            slot.model, base_pos, base_quat, slot.stiffness, slot.damping,
-            np.asarray(self.gravity), self.dt / self.substeps,
-            ball_cfg, static_list, art_list,
-            bounce_threshold=self.bounce_threshold, with_dr=True)
-        self._fused_slot = slot
-        self._fused_ball = ball
+                art_bodies.append(slot_g.body_start + g.body_index)
         self._fused_art_bodies = np.asarray(art_bodies)
+
+        if len(scene.articulations) == 1 and len(scene.free_bodies) == 1:
+            slot = scene.articulations[0]
+            ball = scene.free_bodies[0]
+            init = scene.initial_root[slot.actor_index]
+            ball_cfg = dict(mass=ball.mass, radius=ball.radius,
+                            restitution=ball.restitution, friction=ball.friction,
+                            plane_e=plane.restitution, plane_mu=plane.dynamic_friction)
+            single_art = [dict(g, **{}) for g in art_list]
+            for g in single_art:
+                g.pop("art", None)
+            self._fused = PDK.build_fused_substep(
+                slot.model, init[0:3], init[3:7], slot.stiffness, slot.damping,
+                np.asarray(self.gravity), self.dt / self.substeps,
+                ball_cfg, static_list, single_art,
+                bounce_threshold=self.bounce_threshold)
+            self._fused_dr = PDK.build_fused_substep(
+                slot.model, init[0:3], init[3:7], slot.stiffness, slot.damping,
+                np.asarray(self.gravity), self.dt / self.substeps,
+                ball_cfg, static_list, single_art,
+                bounce_threshold=self.bounce_threshold, with_dr=True)
+            self._fused_slot = slot
+            self._fused_ball = ball
+            return
+
+        # multi-articulation / multi-ball scenes (C8 / C11 class)
+        if any(sl.dof_start != off for sl, off in zip(
+                scene.articulations,
+                np.cumsum([0] + [s.model.tree.n_dof for s in scene.articulations])[:-1])):
+            return
+        arts = [dict(model=sl.model,
+                     base_pos=scene.initial_root[sl.actor_index][0:3],
+                     base_quat=scene.initial_root[sl.actor_index][3:7],
+                     kp=sl.stiffness, kd=sl.damping)
+                for sl in scene.articulations]
+        balls = [dict(mass=fb.mass, radius=fb.radius, restitution=fb.restitution,
+                      friction=fb.friction, plane_e=plane.restitution,
+                      plane_mu=plane.dynamic_friction)
+                 for fb in scene.free_bodies]
+        self._fused_multi = PDK.build_fused_substep_multi(
+            arts, balls, static_list, art_list,
+            np.asarray(self.gravity), self.dt / self.substeps,
+            bounce_threshold=self.bounce_threshold)
+        self._fused_ball_actors = np.asarray(
+            [fb.actor_index for fb in scene.free_bodies])
+        self._fused_ball_bodies = np.asarray(
+            [fb.body_start for fb in scene.free_bodies])
 
     def step(self, state: SimState, targets, efforts) -> SimState:
         """Batched step; routes to the fused Pallas path when eligible."""
@@ -255,10 +288,46 @@ class Simulator:
     def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
         dt_s = self.dt / self.substeps
         state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
-        sub = self._substep_fused if self._fused is not None else self._substep_pallas
+        if self._fused is not None:
+            sub = self._substep_fused
+        elif getattr(self, "_fused_multi", None) is not None:
+            sub = self._substep_fused_multi
+        else:
+            sub = self._substep_pallas
         for _ in range(self.substeps):
             state = sub(state, targets, efforts, dt_s)
         return state
+
+    def _substep_fused_multi(self, state: SimState, targets, efforts, dt_s) -> SimState:
+        """Entire substep for K-articulation / M-ball scenes as ONE kernel."""
+        root = state.root
+        ball_actors = jnp.asarray(self._fused_ball_actors)
+        out = self._fused_multi(
+            state.dof_pos, state.dof_vel, targets, efforts,
+            root[:, ball_actors, 0:3], root[:, ball_actors, 7:10])
+        root = root.at[:, ball_actors, 0:3].set(out.ball_pos)
+        root = root.at[:, ball_actors, 7:10].set(out.ball_vel)
+        ncf = state.net_contact_force
+        ng = len(self._fused_art_bodies)
+        inv_dt = 1.0 / self.dt
+        if ng:
+            ncf = ncf.at[:, jnp.asarray(self._fused_art_bodies)].add(
+                out.impulses[:, :ng] * inv_dt)
+        # per-ball: static row + reaction to geom impulses (split evenly is
+        # not possible per ball; attribute the geom reactions to ball rows by
+        # total (sum) — exact for single-ball scenes, aggregate otherwise
+        total_geom = out.impulses[:, :ng].sum(axis=1) if ng else 0.0
+        ball_bodies = jnp.asarray(self._fused_ball_bodies)
+        ncf = ncf.at[:, ball_bodies].add(out.impulses[:, ng:] * inv_dt)
+        nb = len(self._fused_ball_actors)
+        ncf = ncf.at[:, ball_bodies[0]].add(-total_geom * inv_dt) if ng else ncf
+        return SimState(
+            root=root,
+            dof_pos=out.q_new,
+            dof_vel=out.qd_new,
+            dof_force=out.tau,
+            net_contact_force=ncf,
+        )
 
     def _substep_fused(self, state: SimState, targets, efforts, dt_s,
                        dr_chan=None) -> SimState:

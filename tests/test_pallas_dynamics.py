@@ -196,3 +196,32 @@ def test_fused_dr_kernel_matches_identity_and_responds_to_scales():
                           lower_shift=idp.lower_shift - 10.0)
     s_clamped = step_dr(state0, dshift)
     assert np.asarray(s_clamped.dof_pos).max() < np.asarray(s_plain.dof_pos).max() + 1e-6
+
+
+def test_fused_multi_matches_xla_on_c8_scene():
+    """The K-articulation multi-fused kernel vs the vmapped XLA step on the
+    two-robot C8 scene."""
+    import isaacgym_tpu
+    env = isaacgym_tpu.make(seed=0, task="Humanoid12PingpongTiltG1",
+                            num_envs=128, episodeLength=30)
+    sim = env.sim
+    sim._maybe_build_pallas(force=True)
+    assert getattr(sim, "_fused_multi", None) is not None
+    assert sim._fused is None or True  # single-art fused unused here
+
+    state0 = sim.initial_state(128)
+    v0 = jnp.asarray([-6.0, 0.2, 2.0])
+    state0 = state0._replace(root=state0.root.at[:, 3, 7:10].set(v0))
+    tgt = jnp.full((128, 14), 0.15)
+    eff = jnp.zeros((128, 14))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(30):
+        sf = fused(sf, tgt, eff)
+        sx = xla(sx, tgt, eff)
+    np.testing.assert_allclose(np.asarray(sf.dof_pos), np.asarray(sx.dof_pos), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sf.root[:, 3, 0:3]),
+                               np.asarray(sx.root[:, 3, 0:3]), atol=5e-2)
+    assert np.isfinite(np.asarray(sf.net_contact_force)).all()
