@@ -118,3 +118,25 @@ def test_c7_velocity_reward_scripted():
     rew2, _, _ = jax.vmap(env.reward_single)(
         pre_ball, sim1, rb1, flags1, state.progress + 2)
     assert float(rew2[0]) < 100.0
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """Launcher smoke: the full train.py CLI surface (Hydra-style overrides,
+    config dump, checkpoint save) on CPU with a tiny config."""
+    import subprocess, sys
+    env_vars = dict(os.environ)
+    env_vars["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "train.py",
+         "task=HumanoidPingpongTiltNoEarlyStopG1", "experiment=pytest_cli",
+         "num_envs=2", "max_iterations=2", "device=cpu",
+         "train.params.network.mlp.units=[8,8]",
+         "train.params.config.minibatch_size=8",
+         "train.params.config.horizon_length=4",
+         "task.env.episodeLength=6"],
+        capture_output=True, text=True, timeout=500, cwd=".", env=env_vars)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done in" in out.stdout
+    assert os.path.exists("runs/pytest_cli/config.json")
+    assert os.path.exists("runs/pytest_cli/metrics.jsonl")
+    assert os.path.isdir("runs/pytest_cli/ckpt_final")
