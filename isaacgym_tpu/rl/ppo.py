@@ -31,6 +31,8 @@ class PPOConfig:
     gamma: float = 0.99
     tau: float = 0.95
     learning_rate: float = 2e-5
+    lr_schedule: str = "constant"  # constant | linear | adaptive (rl_games)
+    kl_threshold: float = 0.008
     e_clip: float = 0.2
     horizon_length: int = 32
     minibatch_size: int = 4096
@@ -65,6 +67,8 @@ class PPOConfig:
             gamma=float(c.get("gamma", 0.99)),
             tau=float(c.get("tau", 0.95)),
             learning_rate=float(c.get("learning_rate", 2e-5)),
+            lr_schedule=str(c.get("lr_schedule", "constant") or "constant").lower(),
+            kl_threshold=float(c.get("kl_threshold", 0.008)),
             e_clip=float(c.get("e_clip", 0.2)),
             horizon_length=int(c.get("horizon_length", 32)),
             minibatch_size=int(c.get("minibatch_size", 4096)),
@@ -95,6 +99,20 @@ class PPOTrainState(NamedTuple):
     value_stats: N.RunningStats
     rng: jnp.ndarray
     epoch: jnp.ndarray
+    last_lr: jnp.ndarray
+
+
+def gaussian_kl(mu0, log_sig0, mu1, log_sig1):
+    """Analytic KL(N0 || N1) summed over action dims, mean over batch.
+
+    Mirrors rl_games ``torch_ext.policy_kl`` (the quantity the adaptive lr
+    scheduler thresholds on): called with (new, old) exactly as
+    rl_games ``calc_gradients`` does.
+    """
+    kl = (log_sig1 - log_sig0
+          + (jnp.exp(2.0 * log_sig0) + (mu0 - mu1) ** 2)
+          / (2.0 * jnp.exp(2.0 * log_sig1) + 1e-10) - 0.5)
+    return jnp.sum(kl, axis=-1).mean()
 
 
 class PPOTrainer:
@@ -107,9 +125,15 @@ class PPOTrainer:
             num_actions=env.num_actions, units=cfg.units,
             activation=cfg.activation, sigma_init=cfg.sigma_init,
             separate=cfg.separate)
-        tx = [optax.clip_by_global_norm(cfg.grad_norm)] if cfg.truncate_grads else []
-        tx.append(optax.adam(cfg.learning_rate, eps=1e-8))
-        self.optimizer = optax.chain(*tx)
+        def make_tx(learning_rate):
+            tx = [optax.clip_by_global_norm(cfg.grad_norm)] if cfg.truncate_grads else []
+            tx.append(optax.adam(learning_rate, eps=1e-8))
+            return optax.chain(*tx)
+
+        # inject_hyperparams lets the lr schedule (rl_games constant/linear/
+        # adaptive, cfg.lr_schedule) retune the lr inside the jitted epoch.
+        self.optimizer = optax.inject_hyperparams(make_tx)(
+            learning_rate=cfg.learning_rate)
         self.seed = seed
         self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0, 1))
 
@@ -126,6 +150,7 @@ class PPOTrainer:
             value_stats=N.init_stats(()),
             rng=rng,
             epoch=jnp.asarray(0, jnp.int32),
+            last_lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
         )
 
     def _policy(self, params, obs_stats, obs):
@@ -152,7 +177,8 @@ class PPOTrainer:
             logp = gaussian_logp(mu, log_sig, action)
             env_state, next_obs, rew, done, info = env_step(env_state, action)
             out = dict(obs=obs, action=action, logp=logp, value=value,
-                       reward=rew, done=done, time_out=info["time_outs"], mu=mu,
+                       reward=rew, done=done, time_out=info["time_outs"],
+                       mu=mu, sigma=log_sig,
                        ep_return=info.get("episode_return", rew * 0.0),
                        ep_len=info.get("episode_length", done * 0),
                        ep_done=info.get("episode_done", done))
@@ -203,6 +229,8 @@ class PPOTrainer:
             obs=traj["obs"].reshape(T, -1),
             action=traj["action"].reshape(T, -1),
             logp=traj["logp"].reshape(T),
+            mu=traj["mu"].reshape(T, -1),
+            sigma=traj["sigma"].reshape(T, -1),
             value_n=values_n.reshape(T),
             adv=adv.reshape(T),
             returns_n=returns_n.reshape(T),
@@ -235,30 +263,53 @@ class PPOTrainer:
 
             total = (a_loss + 0.5 * cfg.critic_coef * c_loss
                      - cfg.entropy_coef * entropy + cfg.bounds_loss_coef * b_loss)
-            kl = jnp.mean(mbatch["logp"] - logp)
+            # analytic gaussian KL(new || old), the rl_games scheduler signal
+            kl = gaussian_kl(jax.lax.stop_gradient(mu),
+                             jax.lax.stop_gradient(log_sig),
+                             mbatch["mu"], mbatch["sigma"])
             return total, dict(a_loss=a_loss, c_loss=c_loss, entropy=entropy,
                                b_loss=b_loss, kl=kl)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+        # epoch-level lr schedules (rl_games LinearScheduler: linear decay to
+        # 0 over max_epochs, floored at min_lr; constant: identity)
+        if cfg.lr_schedule == "linear":
+            frac = 1.0 - ts.epoch.astype(jnp.float32) / float(cfg.max_epochs)
+            lr0 = jnp.maximum(cfg.learning_rate * jnp.clip(frac, 0.0, 1.0), 1e-6)
+        else:
+            lr0 = ts.last_lr
+
         def minibatch_step(carry, idx):
-            params, opt_state = carry
+            params, opt_state, lr = carry
             mbatch = jax.tree.map(lambda x: x[idx], batch)
             (_, aux), grads = grad_fn(params, mbatch)
+            opt_state.hyperparams["learning_rate"] = lr
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), aux
+            if cfg.lr_schedule == "adaptive":
+                # rl_games AdaptiveScheduler: ×/÷1.5 on the per-minibatch KL,
+                # clamped to [1e-6, 1e-2]; takes effect next minibatch
+                # (schedule_type 'legacy' in a2c_common.train_epoch).
+                kl = aux["kl"]
+                lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                               jnp.maximum(lr / 1.5, 1e-6), lr)
+                lr = jnp.where(kl < 0.5 * cfg.kl_threshold,
+                               jnp.minimum(lr * 1.5, 1e-2), lr)
+            aux = dict(aux, last_lr=lr)
+            return (params, opt_state, lr), aux
 
         def epoch_step(carry, k):
-            params, opt_state = carry
+            params, opt_state, lr = carry
             perm = jax.random.permutation(k, T)[: num_mb * mb].reshape(num_mb, mb)
-            (params, opt_state), aux = jax.lax.scan(minibatch_step, (params, opt_state), perm)
-            return (params, opt_state), jax.tree.map(jnp.mean, aux)
+            (params, opt_state, lr), aux = jax.lax.scan(
+                minibatch_step, (params, opt_state, lr), perm)
+            return (params, opt_state, lr), jax.tree.map(jnp.mean, aux)
 
         rng, k = jax.random.split(rng)
         epoch_keys = jax.random.split(k, cfg.mini_epochs)
-        (params, opt_state), aux = jax.lax.scan(
-            epoch_step, (ts.params, ts.opt_state), epoch_keys)
+        (params, opt_state, last_lr), aux = jax.lax.scan(
+            epoch_step, (ts.params, ts.opt_state, lr0), epoch_keys)
 
         # episode stats as SUMS (multi-host safe: psum sums, not means;
         # SURVEY.md §7 hard part 6)
@@ -273,7 +324,9 @@ class PPOTrainer:
             "adv_std": adv.std(),
             **{k_: v[-1] for k_, v in jax.tree.map(lambda x: x, aux).items()},
         }
+        metrics["last_lr"] = last_lr
         new_ts = PPOTrainState(
             params=params, opt_state=opt_state, obs_stats=obs_stats,
-            value_stats=value_stats, rng=rng, epoch=ts.epoch + 1)
+            value_stats=value_stats, rng=rng, epoch=ts.epoch + 1,
+            last_lr=last_lr)
         return new_ts, env_state, last_obs, metrics
