@@ -50,6 +50,111 @@ def supports(model: ArticulationModel) -> bool:
     return (not model.floating) and bool(np.all(model.tree.dof_type == U.JOINT_REVOLUTE))
 
 
+def supports_floating(model: ArticulationModel) -> bool:
+    """Floating-base kernel coverage: all-revolute joint dofs (the 27-DOF
+    whole-body G1, reference tasks/humanoid_pingpong_3_actor_all_dof.py:462)."""
+    return model.floating and bool(np.all(model.tree.dof_type == U.JOINT_REVOLUTE))
+
+
+# --- symbolic scalar helpers: Python-float constants fold/prune at trace time
+# (zero mask entries, identity base columns) so the unrolled kernel only
+# emits the ops that matter ------------------------------------------------
+
+def _isz(x):
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _sml(a, b):
+    if _isz(a) or _isz(b):
+        return 0.0
+    return a * b
+
+
+def _sad2(a, b):
+    if _isz(a):
+        return b
+    if _isz(b):
+        return a
+    return a + b
+
+
+def _ssub(a, b):
+    if _isz(b):
+        return a
+    if _isz(a):
+        return -b
+    return a - b
+
+
+def _sdot(a, b):
+    return _sad2(_sad2(_sml(a[0], b[0]), _sml(a[1], b[1])), _sml(a[2], b[2]))
+
+
+def _scross(a, b):
+    return (_ssub(_sml(a[1], b[2]), _sml(a[2], b[1])),
+            _ssub(_sml(a[2], b[0]), _sml(a[0], b[2])),
+            _ssub(_sml(a[0], b[1]), _sml(a[1], b[0])))
+
+
+def _sscale(v, s):
+    return (_sml(v[0], s), _sml(v[1], s), _sml(v[2], s))
+
+
+def _svadd(a, b):
+    return (_sad2(a[0], b[0]), _sad2(a[1], b[1]), _sad2(a[2], b[2]))
+
+
+def _svsub(a, b):
+    return (_ssub(a[0], b[0]), _ssub(a[1], b[1]), _ssub(a[2], b[2]))
+
+
+def _sphere_box_generic(c_local, half, rad):
+    """Closest-point sphere-vs-box in the box frame -> (dist, n_local)."""
+    cl = [jnp.clip(c_local[i], -float(half[i]), float(half[i])) for i in range(3)]
+    d = _sub(c_local, tuple(cl))
+    out2 = _dot(d, d)
+    out_dist = jnp.sqrt(jnp.maximum(out2, 1e-18))
+    outside = out2 > 1e-12
+    gaps = [float(half[i]) - jnp.abs(c_local[i]) for i in range(3)]
+    sx = jnp.where(c_local[0] >= 0, 1.0, -1.0)
+    sy = jnp.where(c_local[1] >= 0, 1.0, -1.0)
+    sz = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+    use_x = (gaps[0] <= gaps[1]) & (gaps[0] <= gaps[2])
+    use_y = (~use_x) & (gaps[1] <= gaps[2])
+    use_z = (~use_x) & (~use_y)
+    n_in = (jnp.where(use_x, sx, 0.0), jnp.where(use_y, sy, 0.0),
+            jnp.where(use_z, sz, 0.0))
+    d_in = -jnp.minimum(gaps[0], jnp.minimum(gaps[1], gaps[2]))
+    n_out = _scale(d, 1.0 / out_dist)
+    n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+    return jnp.where(outside, out_dist, d_in) - rad, n
+
+
+def _sphere_cyl_generic(c_local, radius, half_len, rad):
+    """Closest-point sphere-vs-z-cylinder in the cylinder frame."""
+    r2 = c_local[0] * c_local[0] + c_local[1] * c_local[1]
+    r_xy = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    scale = jnp.minimum(1.0, float(radius) / r_xy)
+    cl = (c_local[0] * scale, c_local[1] * scale,
+          jnp.clip(c_local[2], -float(half_len), float(half_len)))
+    d = _sub(c_local, cl)
+    out2 = _dot(d, d)
+    out_dist = jnp.sqrt(jnp.maximum(out2, 1e-18))
+    outside = out2 > 1e-12
+    face_gap = float(half_len) - jnp.abs(c_local[2])
+    wall_gap = float(radius) - r_xy
+    zsgn = jnp.where(c_local[2] >= 0, 1.0, -1.0)
+    use_face = face_gap < wall_gap
+    inv_rxy = 1.0 / r_xy
+    n_in = (jnp.where(use_face, 0.0, c_local[0] * inv_rxy),
+            jnp.where(use_face, 0.0, c_local[1] * inv_rxy),
+            jnp.where(use_face, zsgn, 0.0))
+    d_in = -jnp.minimum(face_gap, wall_gap)
+    n_out = _scale(d, 1.0 / out_dist)
+    n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
+    return jnp.where(outside, out_dist, d_in) - rad, n
+
+
 # ---------------------------------------------------------------------------
 # scalar-form helpers over (sublane, lane) tiles
 # ---------------------------------------------------------------------------
@@ -906,13 +1011,19 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
     balls (the 4/5-actor scenes). Same physics as
     :func:`build_fused_substep`, generalized:
 
-      * ``arts``: list of dict(model, base_pos, base_quat, kp, kd); DOF
-        channels are concatenated in list order.
+      * ``arts``: list of dict(model, base_pos, base_quat, kp, kd,
+        drive_mode); DOF channels are concatenated in list order.
+        ``drive_mode=1`` (DOF_MODE_EFFORT, the C11 5-actor scene,
+        /root/reference/tasks/humanoid_pingpong.py:581-585) applies the
+        effort input directly instead of the PD law.
       * ``balls``: list of dict(mass, radius, e, mu, plane_e, plane_mu);
         ball channels are pos0,vel0,pos1,vel1,...
       * ``art_geoms`` entries carry an ``art`` index; every ball tests every
         geom. Impulse outputs: ng rows (impulse on each geom body, summed
-        over balls) + one row per ball (its plane/static impulse total).
+        over balls) + NB rows (each ball's plane/static impulse total) + NB
+        rows (each ball's total reaction from articulated-geom contacts) —
+        the last block makes per-ball net-contact-force attribution exact
+        in multi-ball scenes.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -923,7 +1034,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
     nd_tot = sum(nds)
     offs = np.cumsum([0] + nds)[:-1]
     for a in arts:
-        assert supports(a["model"]) and a["model"].tree.n_dof <= 12
+        assert supports(a["model"]) and a["model"].tree.n_dof <= 32
     gx, gy, gz = [float(v) for v in gravity]
     ng = len(art_geoms)
 
@@ -946,6 +1057,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             effort=tree.effort.astype(np.float64),
             kp=np.asarray(a["kp"], np.float64),
             kd=np.asarray(a["kd"], np.float64),
+            drive=int(a.get("drive_mode", 0)),
             bp=tuple(float(v) for v in a["base_pos"]),
             bq=tuple(float(v) for v in a["base_quat"]),
         ))
@@ -963,8 +1075,11 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
 
             tau = []
             for d in range(nd):
-                t_d = (float(c["kp"][d]) * (tgt_ref[o + d] - q[d])
-                       - float(c["kd"][d]) * qd[d] + eff_ref[o + d])
+                if c["drive"] == 1:  # DOF_MODE_EFFORT: direct torque input
+                    t_d = eff_ref[o + d]
+                else:
+                    t_d = (float(c["kp"][d]) * (tgt_ref[o + d] - q[d])
+                           - float(c["kd"][d]) * qd[d] + eff_ref[o + d])
                 t_d = jnp.clip(t_d, -float(c["effort"][d]), float(c["effort"][d]))
                 tau.append(t_d)
                 tau_ref[o + d] = t_d
@@ -1197,6 +1312,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
             for i3 in range(3):
                 imp_ref[(ng + bi) * 3 + i3] = s_imp[i3]
+            b_art = [zero, zero, zero]  # Σ reactions this ball receives
 
             for gi, g in enumerate(art_geoms):
                 rt = art_rt[int(g["art"])]
@@ -1255,7 +1371,10 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
                 for i3 in range(3):
                     geom_imp[gi][i3] = geom_imp[gi][i3] - P[i3]
+                    b_art[i3] = b_art[i3] + P[i3]
 
+            for i3 in range(3):
+                imp_ref[(ng + NB + bi) * 3 + i3] = b_art[i3]
             bpn_ref[3 * bi + 0] = pos[0] + vel[0] * dt_s
             bpn_ref[3 * bi + 1] = pos[1] + vel[1] * dt_s
             bpn_ref[3 * bi + 2] = pos[2] + vel[2] * dt_s
@@ -1272,7 +1391,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
 
     def run(q, qd, targets, efforts, ball_pos, ball_vel):
         """ball_pos/ball_vel: (B, NB, 3). Returns FusedStepOutputs with
-        ball arrays shaped (B, NB, 3) and impulses (B, ng+NB, 3)."""
+        ball arrays shaped (B, NB, 3) and impulses (B, ng+2·NB, 3):
+        [geom rows | per-ball static/plane rows | per-ball art-reaction rows]."""
         B = q.shape[0]
         assert B % LANE == 0
         R = B // LANE
@@ -1286,7 +1406,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
         grid = (R // rb,)
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
-        nimp = (ng + NB) * 3
+        nimp = (ng + 2 * NB) * 3
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1308,7 +1428,536 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             tau=from_chan(outs[2], nd_tot),
             ball_pos=from_chan(outs[3], 3 * NB).reshape(B, NB, 3),
             ball_vel=from_chan(outs[4], 3 * NB).reshape(B, NB, 3),
-            impulses=from_chan(outs[5], nimp).reshape(B, ng + NB, 3),
+            impulses=from_chan(outs[5], nimp).reshape(B, ng + 2 * NB, 3),
+        )
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# floating-base fused substep (27-DOF whole-body scenes, C10 class)
+# ---------------------------------------------------------------------------
+
+class FloatingStepOutputs(NamedTuple):
+    q_new: jnp.ndarray       # (B, nd)
+    qd_new: jnp.ndarray      # (B, nd) post-contact
+    tau: jnp.ndarray         # (B, nd)
+    base_pos: jnp.ndarray    # (B, 3)
+    base_quat: jnp.ndarray   # (B, 4)
+    base_linvel: jnp.ndarray  # (B, 3) post-contact
+    base_angvel: jnp.ndarray  # (B, 3) post-contact
+    ball_pos: jnp.ndarray    # (B, 3)
+    ball_vel: jnp.ndarray    # (B, 3)
+    impulses: jnp.ndarray    # (B, ng+1, 3) geom rows + ball static/plane row
+
+
+def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
+                                 dt_s: float, ball_cfg: dict,
+                                 static_geoms: list, art_geoms: list,
+                                 plane_cfg: dict,
+                                 bounce_threshold: float = 0.2,
+                                 drive_mode: int = 0,
+                                 rows_per_block: int = 8):
+    """ONE Pallas kernel for the ENTIRE substep of a floating-base humanoid
+    pingpong scene (C10: 27-DOF whole-body G1, nv = 33): PD/effort drive ->
+    floating-base forward dynamics (mass matrix over [omega, v, qdot] with the
+    base composite link, RNEA-propagated bias, unrolled 33x33 Cholesky) ->
+    semi-implicit Euler incl. base quat integration -> post FK -> ball
+    contacts with full-body joint-space reactions (impulses kick the base
+    too) -> articulation-vs-ground Baumgarte contacts (feet).
+
+    Mirrors ops.dynamics.forward_dynamics + sim.Simulator._substep /
+    _contacts_and_writeback exactly (same formulation, same ordering), so the
+    XLA path is the parity oracle. The generalized-velocity layout matches
+    ops.dynamics: ``u = [omega_world(3), v_origin_world(3), qdot(nd)]``.
+
+    ``art_geoms``: dict(kind, link(-1 = welded to base), off_pos, off_quat,
+    size, e, mu, radius_bound); offsets relative to the link dof frame (or
+    the base frame for link -1). ``static_geoms`` as in build_fused_substep.
+    ``plane_cfg``: dict(e, mu) for the articulation-geom ground contacts.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tree = model.tree
+    nd = tree.n_dof
+    nv = nd + 6
+    nl = nd + 1  # + base composite link (index nd)
+    assert supports_floating(model)
+
+    parent = [int(p) for p in tree.dof_parent]
+    pre_pos = tree.dof_pre_pos.astype(np.float64)
+    pre_quat = tree.dof_pre_quat.astype(np.float64)
+    axis = tree.dof_axis.astype(np.float64)
+    # (nl, nd) incl. the zero base row; base columns handled symbolically
+    mask = model.ancestor_mask
+    m_l = model.link_mass.astype(np.float64)          # (nl,) incl. base
+    com_l = model.link_com.astype(np.float64)         # (nl,3)
+    I_l = model.link_inertia_com.astype(np.float64)   # (nl,3,3)
+    armature = model.armature.astype(np.float64)      # (nv,)
+    lo = tree.lower.astype(np.float64)
+    hi = tree.upper.astype(np.float64)
+    effort = tree.effort.astype(np.float64)
+    gx, gy, gz = [float(v) for v in gravity]
+    kp = np.asarray(kp, np.float64)
+    kd = np.asarray(kd, np.float64)
+    inv_mb = 1.0 / float(ball_cfg["mass"])
+    rb_ = float(ball_cfg["radius"])
+    e_ball = float(ball_cfg["restitution"])
+    mu_ball = float(ball_cfg["friction"])
+    ng = len(art_geoms)
+    # ground-contact material (matches _art_vs_ground_group)
+    e_gnd = 0.5 * (0.0 + float(plane_cfg["e"]))
+    mu_gnd = 0.5 * (0.8 + float(plane_cfg["mu"]))
+
+    def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bps_ref, bqt_ref, blv_ref,
+               bav_ref, blp_ref, blv2_ref,
+               qn_ref, qdn_ref, tau_ref, bpn_ref, bqn_ref, bvn_ref, bwn_ref,
+               ballp_ref, ballv_ref, imp_ref):
+        q = [q_ref[d] for d in range(nd)]
+        qd = [qd_ref[d] for d in range(nd)]
+        zero = jnp.zeros_like(q[0])
+        bp = (bps_ref[0], bps_ref[1], bps_ref[2])
+        bq = (bqt_ref[0], bqt_ref[1], bqt_ref[2], bqt_ref[3])
+        v_base = (blv_ref[0], blv_ref[1], blv_ref[2])
+        w_base = (bav_ref[0], bav_ref[1], bav_ref[2])
+
+        # -- drive torques ------------------------------------------------
+        tau = []
+        for d in range(nd):
+            if drive_mode == 1:
+                t_d = eff_ref[d]
+            else:
+                t_d = (float(kp[d]) * (tgt_ref[d] - q[d])
+                       - float(kd[d]) * qd[d] + eff_ref[d])
+            t_d = jnp.clip(t_d, -float(effort[d]), float(effort[d]))
+            tau.append(t_d)
+            tau_ref[d] = t_d
+
+        # -- FK from the runtime base pose --------------------------------
+        def fk(q_rows, bp_t, bq_t):
+            fp, fq, axes_w = [], [], []
+            for d in range(nd):
+                if parent[d] < 0:
+                    pp, pq = bp_t, bq_t
+                else:
+                    pp, pq = fp[parent[d]], fq[parent[d]]
+                jp = _add(pp, _qrot(pq, tuple(float(v) for v in pre_pos[d])))
+                jq = _qmul(pq, tuple(float(v) for v in pre_quat[d]))
+                half = 0.5 * q_rows[d]
+                s_, c_ = jnp.sin(half), jnp.cos(half)
+                ax, ay, az = [float(v) for v in axis[d]]
+                bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, c_))
+                fp.append(jp)
+                fq.append(bq_d)
+                axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
+            return fp, fq, axes_w
+
+        fp, fq, axes_w = fk(q, bp, bq)
+        # link origins/orientations incl. the base composite (index nd)
+        org = fp + [bp]
+        orient = fq + [bq]
+        com_w, I_w = [], []
+        for l in range(nl):
+            com_w.append(_add(org[l], _qrot(orient[l],
+                                            tuple(float(v) for v in com_l[l]))))
+            I_w.append(_world_inertia(_rotmat_from_quat(orient[l]), I_l[l]))
+
+        # -- velocity/bias propagation (u̇ = 0), base init (ω, wd=0, ao=0) --
+        w_list, wd_list, ao_list = [], [], []
+        for d in range(nd):
+            if parent[d] < 0:
+                w_p, wd_p, ao_p, o_p = w_base, (zero, zero, zero), (zero, zero, zero), bp
+            else:
+                w_p, wd_p, ao_p = w_list[parent[d]], wd_list[parent[d]], ao_list[parent[d]]
+                o_p = fp[parent[d]]
+            r = _sub(fp[d], o_p)
+            ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
+            a_w = axes_w[d]
+            w_list.append(_add(w_p, _scale(a_w, qd[d])))
+            wd_list.append(_add(wd_p, _scale(_cross(w_p, a_w), qd[d])))
+            ao_list.append(ao_d)
+        # base composite link rides the base directly
+        w_list.append(w_base)
+        wd_list.append((zero, zero, zero))
+        ao_list.append((zero, zero, zero))
+
+        f_list, n_list = [], []
+        for l in range(nl):
+            o_l = org[l] if l < nd else bp
+            rc = _sub(com_w[l], o_l)
+            a_com = _add(ao_list[l], _add(_cross(wd_list[l], rc),
+                                          _cross(w_list[l], _cross(w_list[l], rc))))
+            f_list.append(_scale((a_com[0] - gx, a_com[1] - gy, a_com[2] - gz),
+                                 float(m_l[l])))
+            Iw = I_w[l]
+            n_list.append(_add(_sym_mat_vec(Iw, wd_list[l]),
+                               _cross(w_list[l], _sym_mat_vec(Iw, w_list[l]))))
+
+        # -- Jacobian columns (symbolic; constants prune) -------------------
+        # col c of link l: Jang[l][c], Jlin[l][c]
+        E3 = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+        def Jang_col(l, c):
+            if c < 3:
+                return E3[c]
+            if c < 6:
+                return (0.0, 0.0, 0.0)
+            d = c - 6
+            if mask[l, d]:
+                return axes_w[d]
+            return (0.0, 0.0, 0.0)
+
+        def Jlin_col(l, c):
+            if c < 3:
+                return _scross(E3[c], _svsub(com_w[l], bp))
+            if c < 6:
+                return E3[c - 3]
+            d = c - 6
+            if mask[l, d]:
+                return _cross(axes_w[d], _sub(com_w[l], fp[d]))
+            return (0.0, 0.0, 0.0)
+
+        def col_nonzero(l, c):
+            return c < 6 or mask[l, c - 6]
+
+        # generalized bias + rhs
+        tau_gen = [0.0] * 6 + tau
+        rhs = []
+        for c in range(nv):
+            acc = 0.0
+            for l in range(nl):
+                if not col_nonzero(l, c):
+                    continue
+                acc = _sad2(acc, _sad2(_sdot(Jang_col(l, c), n_list[l]),
+                                       _sdot(Jlin_col(l, c), f_list[l])))
+            rhs.append(_ssub(tau_gen[c], acc))
+
+        # mass matrix (lower triangle), memoizing I_w · Jang per (l, c)
+        IwJ = {}
+
+        def iw_jang(l, c):
+            key = (l, c)
+            if key not in IwJ:
+                col = Jang_col(l, c)
+                IwJ[key] = ((0.0, 0.0, 0.0) if all(_isz(x) for x in col)
+                            else _sym_mat_vec(I_w[l], col))
+            return IwJ[key]
+
+        Jl_memo = {}
+
+        def jlin(l, c):
+            key = (l, c)
+            if key not in Jl_memo:
+                Jl_memo[key] = Jlin_col(l, c)
+            return Jl_memo[key]
+
+        M = [[None] * nv for _ in range(nv)]
+        for i in range(nv):
+            for j in range(i + 1):
+                acc = 0.0
+                for l in range(nl):
+                    if not (col_nonzero(l, i) and col_nonzero(l, j)):
+                        continue
+                    term = _sad2(_sdot(Jang_col(l, i), iw_jang(l, j)),
+                                 _sml(float(m_l[l]), _sdot(jlin(l, i), jlin(l, j))))
+                    acc = _sad2(acc, term)
+                if i == j:
+                    acc = _sad2(acc, float(armature[i]))
+                M[i][j] = acc
+
+        # -- unrolled nv x nv Cholesky + solves ----------------------------
+        import math
+        Lm = [[None] * (i + 1) for i in range(nv)]
+        for j in range(nv):
+            s_ = M[j][j]
+            for k2 in range(j):
+                s_ = _ssub(s_, _sml(Lm[j][k2], Lm[j][k2]))
+            if isinstance(s_, float):
+                dia = math.sqrt(max(s_, 1e-12))
+                inv_d = 1.0 / dia
+            else:
+                dia = jnp.sqrt(jnp.maximum(s_, 1e-12))
+                inv_d = 1.0 / dia
+            Lm[j][j] = dia
+            for i in range(j + 1, nv):
+                s_ = M[i][j]
+                for k2 in range(j):
+                    s_ = _ssub(s_, _sml(Lm[i][k2], Lm[j][k2]))
+                Lm[i][j] = _sml(s_, inv_d)
+
+        def fwd_sub(b):
+            y = [None] * nv
+            for i in range(nv):
+                s_ = b[i]
+                for j in range(i):
+                    s_ = _ssub(s_, _sml(Lm[i][j], y[j]))
+                y[i] = (s_ / Lm[i][i]) if not _isz(s_) else 0.0
+            return y
+
+        def back_sub(y):
+            x = [None] * nv
+            for i in reversed(range(nv)):
+                s_ = y[i]
+                for j in range(i + 1, nv):
+                    s_ = _ssub(s_, _sml(Lm[j][i], x[j]))
+                x[i] = (s_ / Lm[i][i]) if not _isz(s_) else 0.0
+            return x
+
+        udot = back_sub(fwd_sub(rhs))
+
+        # -- semi-implicit Euler + joint limits + base integration ---------
+        u = [None] * nv
+        for c in range(6):
+            u0 = w_base[c] if c < 3 else v_base[c - 3]
+            u[c] = _sad2(u0, _sml(dt_s, udot[c]))
+        q_new = []
+        for d in range(nd):
+            v = _sad2(qd[d], _sml(dt_s, udot[6 + d]))
+            p = q[d] + dt_s * v
+            at_lo = p < float(lo[d])
+            at_hi = p > float(hi[d])
+            p = jnp.clip(p, float(lo[d]), float(hi[d]))
+            v = jnp.where(at_lo, jnp.maximum(v, 0.0), v)
+            v = jnp.where(at_hi, jnp.minimum(v, 0.0), v)
+            q_new.append(p)
+            u[6 + d] = v
+            qn_ref[d] = p
+        omega_n = (u[0], u[1], u[2])
+        vel_n = (u[3], u[4], u[5])
+        bp2 = _add(bp, _scale(vel_n, dt_s))
+        # quat update: q̇ = 0.5 * [ω,0] ⊗ q, then normalize
+        wq = (omega_n[0], omega_n[1], omega_n[2], zero)
+        dq = _qmul(wq, bq)
+        bq2 = tuple(bq[i] + 0.5 * dt_s * dq[i] for i in range(4))
+        qn = jnp.sqrt(jnp.maximum(
+            bq2[0] * bq2[0] + bq2[1] * bq2[1] + bq2[2] * bq2[2] + bq2[3] * bq2[3],
+            1e-12))
+        bq2 = tuple(c / qn for c in bq2)
+        for i in range(3):
+            bpn_ref[i] = bp2[i]
+        for i in range(4):
+            bqn_ref[i] = bq2[i]
+
+        # -- post-step FK (new base pose) for the contact phase ------------
+        fp2, fq2, axes2 = fk(q_new, bp2, bq2)
+        org2 = fp2 + [bp2]
+        orient2 = fq2 + [bq2]
+
+        # world pose of every articulation geom at the post-step config
+        geom_pos, geom_quat = [], []
+        for g in art_geoms:
+            link = int(g["link"])
+            li = nd if link < 0 else link
+            gp = _add(org2[li], _qrot(orient2[li], tuple(float(v) for v in g["off_pos"])))
+            gq = _qmul(orient2[li], tuple(float(v) for v in g["off_quat"]))
+            geom_pos.append(gp)
+            geom_quat.append(gq)
+
+        # contact-point Jacobian columns (shared by ball + ground phases)
+        def point_cols(link, cp):
+            cols = [None] * nv
+            rbv = _sub(cp, bp2)
+            cols[0] = (0.0, _ssub(0.0, rbv[2]), rbv[1])
+            cols[1] = (rbv[2], 0.0, _ssub(0.0, rbv[0]))
+            cols[2] = (_ssub(0.0, rbv[1]), rbv[0], 0.0)
+            cols[3] = (1.0, 0.0, 0.0)
+            cols[4] = (0.0, 1.0, 0.0)
+            cols[5] = (0.0, 0.0, 1.0)
+            for i in range(nd):
+                if link >= 0 and mask[link, i]:
+                    cols[6 + i] = _cross(axes2[i], _sub(cp, fp2[i]))
+                else:
+                    cols[6 + i] = (0.0, 0.0, 0.0)
+            return cols
+
+        def jt_dot(cols, vec):
+            return [_sdot(cols[c], vec) for c in range(nv)]
+
+        def j_u(cols):
+            vp = (0.0, 0.0, 0.0)
+            for c in range(nv):
+                vp = _svadd(vp, _sscale(cols[c], u[c]))
+            return vp
+
+        # ------------------- ball stage -----------------------------------
+        pos = (blp_ref[0], blp_ref[1], blp_ref[2])
+        vel = (blv2_ref[0] + gx * dt_s, blv2_ref[1] + gy * dt_s,
+               blv2_ref[2] + gz * dt_s)
+
+        def resolve_static(vel, dist, n, e, mu):
+            vn = _dot(vel, n)
+            active = (dist < 0.0) & (vn < 0.0)
+            e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+            jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
+            vt = _sub(vel, _scale(n, vn))
+            vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+            jt = jnp.where(active, jnp.minimum(mu * jn, vt_n), 0.0)
+            dv = _sub(_scale(n, jn), _scale(vt, jt / vt_n))
+            push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
+            return _add(vel, dv), push, dv
+
+        e = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0)))
+        mu = 0.5 * (mu_ball + float(ball_cfg.get("plane_mu", 1.0)))
+        vel, push, dv = resolve_static(vel, pos[2] - rb_, (zero, zero, zero + 1.0), e, mu)
+        pos = _add(pos, push)
+        s_imp = list(_scale(dv, 1.0 / inv_mb))
+
+        for g in static_geoms:
+            gp = tuple(float(v) for v in g["pos"])
+            gq = tuple(float(v) for v in g["quat"])
+            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
+            kind_s = int(g["kind"])
+            if kind_s == U.GEOM_SPHERE:
+                d2 = _dot(c_local, c_local)
+                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                n_local = _scale(c_local, 1.0 / dn)
+                dist = dn - float(g["size"][0]) - rb_
+            elif kind_s == U.GEOM_BOX:
+                dist, n_local = _sphere_box_generic(c_local, g["size"], rb_)
+            else:
+                dist, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
+            n = _qrot(gq, n_local)
+            e = 0.5 * (e_ball + float(g["e"]))
+            mu = 0.5 * (mu_ball + float(g["mu"]))
+            vel, push, dv = resolve_static(vel, dist, n, e, mu)
+            pos = _add(pos, push)
+            for i3 in range(3):
+                s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
+        for i3 in range(3):
+            imp_ref[ng * 3 + i3] = s_imp[i3]
+
+        # articulated geoms with FULL-BODY joint-space reactions
+        for gi, g in enumerate(art_geoms):
+            gp, gq = geom_pos[gi], geom_quat[gi]
+            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
+            kind = int(g["kind"])
+            if kind == U.GEOM_SPHERE:
+                d2 = _dot(c_local, c_local)
+                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                n_local = _scale(c_local, 1.0 / dn)
+                dist = dn - float(g["size"][0]) - rb_
+            elif kind == U.GEOM_BOX:
+                dist, n_local = _sphere_box_generic(c_local, g["size"], rb_)
+            else:
+                dist, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
+            n = _qrot(gq, n_local)
+            cp = _sub(pos, _scale(n, rb_))
+            cols = point_cols(int(g["link"]), cp)
+            v_point = j_u(cols)
+            v_rel = _sub(vel, v_point)
+            vn = _dot(v_rel, n)
+            active = (dist < 0.0) & (vn < 0.0)
+            e = 0.5 * (e_ball + float(g["e"]))
+            mu = 0.5 * (mu_ball + float(g["mu"]))
+            e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+            yn = fwd_sub(jt_dot(cols, n))
+            w_n = inv_mb + sum(v_ * v_ for v_ in yn if not _isz(v_))
+            Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
+            vt = _sub(v_rel, _scale(n, vn))
+            vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+            t_hat = _scale(vt, 1.0 / vt_n)
+            yt = fwd_sub(jt_dot(cols, t_hat))
+            w_t = inv_mb + sum(v_ * v_ for v_ in yt if not _isz(v_))
+            Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
+            P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+            vel = _add(vel, _scale(P, inv_mb))
+            du = back_sub([_sad2(_sml(yn[i], -Pn), _sml(yt[i], Pt))
+                           for i in range(nv)])
+            for c in range(nv):
+                u[c] = _sad2(u[c], du[c])
+            pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
+            imp_ref[gi * 3 + 0] = -P[0]
+            imp_ref[gi * 3 + 1] = -P[1]
+            imp_ref[gi * 3 + 2] = -P[2]
+
+        # ---------------- articulation vs ground (feet) --------------------
+        for gi, g in enumerate(art_geoms):
+            center = geom_pos[gi]
+            radius = float(g["radius_bound"])
+            dist = center[2] - radius
+            point = (center[0], center[1], center[2] - radius)
+            cols = point_cols(int(g["link"]), point)
+            v_point = j_u(cols)
+            vn = v_point[2]
+            active = (dist < 0.0) & (vn < 0.1)
+            bias = 0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0)
+            n = (zero, zero, zero + 1.0)
+            yn = fwd_sub(jt_dot(cols, n))
+            w_n = sum(v_ * v_ for v_ in yn if not _isz(v_))
+            Pn = jnp.where(active,
+                           (-(1.0 + e_gnd) * jnp.minimum(vn, 0.0) + bias)
+                           / jnp.maximum(w_n, 1e-9), 0.0)
+            vt = _sub(v_point, _scale(n, vn))
+            vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+            t_hat = _scale(vt, 1.0 / vt_n)
+            yt = fwd_sub(jt_dot(cols, t_hat))
+            w_t = sum(v_ * v_ for v_ in yt if not _isz(v_))
+            Pt = jnp.where(active,
+                           jnp.minimum(mu_gnd * Pn, vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+            du = back_sub([_sad2(_sml(yn[i], Pn), _sml(yt[i], -Pt))
+                           for i in range(nv)])
+            for c in range(nv):
+                u[c] = _sad2(u[c], du[c])
+
+        # ---------------- writeback ---------------------------------------
+        for d in range(nd):
+            qdn_ref[d] = u[6 + d]
+        for i in range(3):
+            bwn_ref[i] = u[i]
+            bvn_ref[i] = u[3 + i]
+        ballp_ref[0] = pos[0] + vel[0] * dt_s
+        ballp_ref[1] = pos[1] + vel[1] * dt_s
+        ballp_ref[2] = pos[2] + vel[2] * dt_s
+        ballv_ref[0] = vel[0]
+        ballv_ref[1] = vel[1]
+        ballv_ref[2] = vel[2]
+
+    def run(q, qd, targets, efforts, base_pos, base_quat, base_linvel,
+            base_angvel, ball_pos, ball_vel) -> FloatingStepOutputs:
+        B = q.shape[0]
+        assert B % LANE == 0
+        R = B // LANE
+        rb = min(rows_per_block, R)
+        while R % rb:
+            rb -= 1
+
+        def to_chan(x, n):
+            return jnp.transpose(x.reshape(B, n), (1, 0)).reshape(n, R, LANE)
+
+        grid = (R // rb,)
+        chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+        nimp = ng * 3 + 3
+        in_ns = [nd, nd, nd, nd, 3, 4, 3, 3, 3, 3]
+        out_ns = [nd, nd, nd, 3, 4, 3, 3, 3, 3, nimp]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[chan(n) for n in in_ns],
+            out_specs=tuple(chan(n) for n in out_ns),
+            out_shape=tuple(jax.ShapeDtypeStruct((n, R, LANE), jnp.float32)
+                            for n in out_ns),
+            interpret=jax.default_backend() == "cpu",
+        )(to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd),
+          to_chan(efforts, nd), to_chan(base_pos, 3), to_chan(base_quat, 4),
+          to_chan(base_linvel, 3), to_chan(base_angvel, 3),
+          to_chan(ball_pos, 3), to_chan(ball_vel, 3))
+
+        def from_chan(x, n):
+            return jnp.transpose(x.reshape(n, B), (1, 0))
+
+        return FloatingStepOutputs(
+            q_new=from_chan(outs[0], nd),
+            qd_new=from_chan(outs[1], nd),
+            tau=from_chan(outs[2], nd),
+            base_pos=from_chan(outs[3], 3),
+            base_quat=from_chan(outs[4], 4),
+            base_linvel=from_chan(outs[5], 3),
+            base_angvel=from_chan(outs[6], 3),
+            ball_pos=from_chan(outs[7], 3),
+            ball_vel=from_chan(outs[8], 3),
+            impulses=from_chan(outs[9], nimp).reshape(B, ng + 1, 3),
         )
 
     return jax.jit(run)

@@ -85,6 +85,10 @@ class Simulator:
         self._step_dr_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0))
         self.rigid_body_states = jax.vmap(self._rigid_body_states_single)
         self._pallas_kernels = None
+        self._fused = None
+        self._fused_dr = None
+        self._fused_multi = None
+        self._fused_floating = None
         self._maybe_build_pallas()
 
     def _build_geom_groups(self) -> None:
@@ -150,6 +154,14 @@ class Simulator:
         scene = self.scene
         if not scene.articulations:
             return
+        # floating-base whole-body scenes (C10 class): single articulation +
+        # single ball over a flat ground -> dedicated fused kernel
+        if (len(scene.articulations) == 1 and len(scene.free_bodies) == 1
+                and scene.spec.terrain is None and scene.spec.plane is not None
+                and PDK.supports_floating(scene.articulations[0].model)
+                and scene.articulations[0].model.tree.n_dof <= 32):
+            self._build_fused_floating()
+            return
         for slot in scene.articulations:
             if not PDK.supports(slot.model):
                 return
@@ -164,6 +176,86 @@ class Simulator:
         self._fused = None
         self._maybe_build_fused()
 
+    def _build_fused_floating(self) -> None:
+        """Fused substep kernel for single floating-base humanoid + single
+        ball scenes (C10, reference cfg/task/HumanoidPingpongTiltNESSparse27DOFG1.yaml).
+        All articulation geoms (incl. base-welded ones) move with the runtime
+        base pose — nothing is constant-folded except truly-static actors."""
+        from isaacgym_tpu.ops import pallas_dynamics as PDK
+        scene = self.scene
+        slot = scene.articulations[0]
+        ball = scene.free_bodies[0]
+        tree = slot.model.tree
+        plane = scene.spec.plane
+
+        static_list = []
+        for g in scene.static_geoms:
+            sroot = scene.initial_root[g.actor_index]
+            gp, gq = _compose(sroot[0:3], sroot[3:7], g.local_pos, g.local_quat)
+            static_list.append(dict(kind=g.kind, pos=gp, quat=gq, size=g.size,
+                                    e=g.restitution, mu=g.friction))
+        art_list, art_bodies = [], []
+        for g in scene.art_geoms:
+            link = int(tree.body_ref_dof[g.body_index])
+            offp, offq = _compose(tree.body_ref_pos[g.body_index],
+                                  tree.body_ref_quat[g.body_index],
+                                  g.local_pos, g.local_quat)
+            rb = (float(g.size[0]) if g.kind == U.GEOM_SPHERE
+                  else float(np.max(g.size)))
+            art_list.append(dict(kind=g.kind, link=link, off_pos=offp,
+                                 off_quat=offq, size=g.size, e=g.restitution,
+                                 mu=g.friction, radius_bound=rb))
+            art_bodies.append(slot.body_start + g.body_index)
+        self._ffl_art_bodies = np.asarray(art_bodies)
+
+        ball_cfg = dict(mass=ball.mass, radius=ball.radius,
+                        restitution=ball.restitution, friction=ball.friction,
+                        plane_e=plane.restitution,
+                        plane_mu=plane.dynamic_friction)
+        self._fused_floating = PDK.build_fused_substep_floating(
+            slot.model, slot.stiffness, slot.damping,
+            np.asarray(self.gravity), self.dt / self.substeps,
+            ball_cfg, static_list, art_list,
+            plane_cfg=dict(e=plane.restitution, mu=plane.dynamic_friction),
+            bounce_threshold=self.bounce_threshold,
+            drive_mode=slot.drive_mode)
+        self._ffl_slot = slot
+        self._ffl_ball = ball
+
+    def _substep_fused_floating(self, state: SimState, targets, efforts, dt_s) -> SimState:
+        """Entire floating-base substep as ONE kernel (C10 class)."""
+        slot, ball = self._ffl_slot, self._ffl_ball
+        sl = slice(slot.dof_start, slot.dof_end)
+        root = state.root
+        hr = root[:, slot.actor_index]
+        out = self._fused_floating(
+            state.dof_pos[:, sl], state.dof_vel[:, sl],
+            targets[:, sl], efforts[:, sl],
+            hr[:, 0:3], hr[:, 3:7], hr[:, 7:10], hr[:, 10:13],
+            root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10])
+        ai = slot.actor_index
+        root = root.at[:, ai, 0:3].set(out.base_pos)
+        root = root.at[:, ai, 3:7].set(out.base_quat)
+        root = root.at[:, ai, 7:10].set(out.base_linvel)
+        root = root.at[:, ai, 10:13].set(out.base_angvel)
+        root = root.at[:, ball.actor_index, 0:3].set(out.ball_pos)
+        root = root.at[:, ball.actor_index, 7:10].set(out.ball_vel)
+        ncf = state.net_contact_force
+        ng = len(self._ffl_art_bodies)
+        inv_dt = 1.0 / self.dt
+        if ng:
+            ncf = ncf.at[:, jnp.asarray(self._ffl_art_bodies)].add(
+                out.impulses[:, :ng] * inv_dt)
+        ball_imp = out.impulses[:, ng] - out.impulses[:, :ng].sum(axis=1)
+        ncf = ncf.at[:, ball.body_start].add(ball_imp * inv_dt)
+        return SimState(
+            root=root,
+            dof_pos=state.dof_pos.at[:, sl].set(out.q_new),
+            dof_vel=state.dof_vel.at[:, sl].set(out.qd_new),
+            dof_force=state.dof_force.at[:, sl].set(out.tau),
+            net_contact_force=ncf,
+        )
+
     def _maybe_build_fused(self) -> None:
         """Fully-fused substep (dynamics + ball contacts in ONE kernel) for
         single-humanoid + single-ball scenes with a flat ground — the
@@ -177,7 +269,7 @@ class Simulator:
         if (not scene.articulations or not scene.free_bodies
                 or scene.spec.terrain is not None or scene.spec.plane is None):
             return
-        if any(not PDK.supports(sl.model) or sl.model.tree.n_dof > 12
+        if any(not PDK.supports(sl.model) or sl.model.tree.n_dof > 32
                for sl in scene.articulations):
             return
 
@@ -209,7 +301,8 @@ class Simulator:
                 art_bodies.append(slot_g.body_start + g.body_index)
         self._fused_art_bodies = np.asarray(art_bodies)
 
-        if len(scene.articulations) == 1 and len(scene.free_bodies) == 1:
+        if (len(scene.articulations) == 1 and len(scene.free_bodies) == 1
+                and scene.articulations[0].drive_mode == DRIVE_POS):
             slot = scene.articulations[0]
             ball = scene.free_bodies[0]
             init = scene.initial_root[slot.actor_index]
@@ -241,7 +334,7 @@ class Simulator:
         arts = [dict(model=sl.model,
                      base_pos=scene.initial_root[sl.actor_index][0:3],
                      base_quat=scene.initial_root[sl.actor_index][3:7],
-                     kp=sl.stiffness, kd=sl.damping)
+                     kp=sl.stiffness, kd=sl.damping, drive_mode=sl.drive_mode)
                 for sl in scene.articulations]
         balls = [dict(mass=fb.mass, radius=fb.radius, restitution=fb.restitution,
                       friction=fb.friction, plane_e=plane.restitution,
@@ -258,7 +351,7 @@ class Simulator:
 
     def step(self, state: SimState, targets, efforts) -> SimState:
         """Batched step; routes to the fused Pallas path when eligible."""
-        if (self._pallas_kernels is not None
+        if ((self._pallas_kernels is not None or self._fused_floating is not None)
                 and state.root.shape[0] % 128 == 0):
             return self._step_batched_pallas(state, targets, efforts)
         return self._step_vmapped(state, targets, efforts)
@@ -290,7 +383,9 @@ class Simulator:
         state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
         if self._fused is not None:
             sub = self._substep_fused
-        elif getattr(self, "_fused_multi", None) is not None:
+        elif self._fused_floating is not None:
+            sub = self._substep_fused_floating
+        elif self._fused_multi is not None:
             sub = self._substep_fused_multi
         else:
             sub = self._substep_pallas
@@ -313,14 +408,12 @@ class Simulator:
         if ng:
             ncf = ncf.at[:, jnp.asarray(self._fused_art_bodies)].add(
                 out.impulses[:, :ng] * inv_dt)
-        # per-ball: static row + reaction to geom impulses (split evenly is
-        # not possible per ball; attribute the geom reactions to ball rows by
-        # total (sum) — exact for single-ball scenes, aggregate otherwise
-        total_geom = out.impulses[:, :ng].sum(axis=1) if ng else 0.0
+        # exact per-ball attribution: static/plane row + the ball's own
+        # art-reaction row (kernel impulse layout: geoms | static | art)
         ball_bodies = jnp.asarray(self._fused_ball_bodies)
-        ncf = ncf.at[:, ball_bodies].add(out.impulses[:, ng:] * inv_dt)
         nb = len(self._fused_ball_actors)
-        ncf = ncf.at[:, ball_bodies[0]].add(-total_geom * inv_dt) if ng else ncf
+        ball_imp = out.impulses[:, ng:ng + nb] + out.impulses[:, ng + nb:ng + 2 * nb]
+        ncf = ncf.at[:, ball_bodies].add(ball_imp * inv_dt)
         return SimState(
             root=root,
             dof_pos=out.q_new,

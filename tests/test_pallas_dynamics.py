@@ -198,6 +198,51 @@ def test_fused_dr_kernel_matches_identity_and_responds_to_scales():
     assert np.asarray(s_clamped.dof_pos).max() < np.asarray(s_plain.dof_pos).max() + 1e-6
 
 
+def test_fused_multi_matches_xla_on_c11_scene():
+    """C11 (two 26-DOF effort-drive robots + two balls) on the multi-fused
+    kernel vs the vmapped XLA step, including exact per-ball net-contact-force
+    attribution (VERDICT r1 items 1/4b)."""
+    import isaacgym_tpu
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpong5ActorG1",
+                            num_envs=128, episodeLength=30)
+    sim = env.sim
+    sim._maybe_build_pallas(force=True)
+    assert getattr(sim, "_fused_multi", None) is not None
+
+    state0 = sim.initial_state(128)
+    # throw both balls at their robots
+    state0 = state0._replace(
+        root=state0.root.at[:, 3, 7:10].set(jnp.asarray([-6.0, 0.2, 2.0]))
+                         .at[:, 4, 7:10].set(jnp.asarray([6.0, -0.2, 2.0])))
+    nd = sim.scene.num_dofs
+    rng = np.random.RandomState(3)
+    eff = jnp.asarray(rng.uniform(-20, 20, (128, nd)).astype(np.float32))
+    tgt = jnp.zeros((128, nd))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(10):
+        sf = fused(sf, tgt, eff)
+        sx = xla(sx, tgt, eff)
+    np.testing.assert_allclose(np.asarray(sf.dof_pos), np.asarray(sx.dof_pos),
+                               atol=5e-3)
+    for ball_actor in (3, 4):
+        np.testing.assert_allclose(np.asarray(sf.root[:, ball_actor, 0:3]),
+                                   np.asarray(sx.root[:, ball_actor, 0:3]),
+                                   atol=5e-2)
+    # per-ball ncf rows must match the XLA attribution, not a lumped sum
+    ball_bodies = [fb.body_start for fb in sim.scene.free_bodies]
+    np.testing.assert_allclose(np.asarray(sf.net_contact_force[:, ball_bodies]),
+                               np.asarray(sx.net_contact_force[:, ball_bodies]),
+                               atol=2e-1)
+    # effort drive: dof_force must equal the clipped commanded efforts
+    effort_lim = np.concatenate([s.model.tree.effort for s in sim.scene.articulations])
+    np.testing.assert_allclose(
+        np.asarray(sf.dof_force),
+        np.clip(np.asarray(eff), -effort_lim, effort_lim), atol=1e-5)
+
+
 def test_fused_multi_matches_xla_on_c8_scene():
     """The K-articulation multi-fused kernel vs the vmapped XLA step on the
     two-robot C8 scene."""
