@@ -89,6 +89,10 @@ class Simulator:
         self._fused_dr = None
         self._fused_multi = None
         self._fused_floating = None
+        # actors whose world pose the Pallas fast path folds as compile-time
+        # constants; runtime writes to them divert the step to the (fully
+        # runtime-correct) XLA path via lax.cond — see step()
+        self._baked_actors = np.zeros(0, np.int64)
         self._maybe_build_pallas()
 
     def _build_geom_groups(self) -> None:
@@ -174,6 +178,9 @@ class Simulator:
                 np.asarray(self.gravity), self.dt / self.substeps))
         self._pallas_kernels = kernels
         self._fused = None
+        # arm kernels fold each fixed articulation's base pose
+        self._baked_actors = np.asarray(
+            sorted({s.actor_index for s in scene.articulations}), np.int64)
         self._maybe_build_fused()
 
     def _build_fused_floating(self) -> None:
@@ -212,6 +219,10 @@ class Simulator:
                         restitution=ball.restitution, friction=ball.friction,
                         plane_e=plane.restitution,
                         plane_mu=plane.dynamic_friction)
+        # floating kernel: only static actors are constant-folded (the base
+        # pose is a runtime input)
+        self._baked_actors = np.asarray(
+            sorted({g.actor_index for g in scene.static_geoms}), np.int64)
         self._fused_floating = PDK.build_fused_substep_floating(
             slot.model, slot.stiffness, slot.damping,
             np.asarray(self.gravity), self.dt / self.substeps,
@@ -280,6 +291,10 @@ class Simulator:
             gp, gq = _compose(sroot[0:3], sroot[3:7], g.local_pos, g.local_quat)
             static_list.append(dict(kind=g.kind, pos=gp, quat=gq, size=g.size,
                                     e=g.restitution, mu=g.friction))
+        # the fused kernels also fold static actors' world poses
+        self._baked_actors = np.asarray(sorted(
+            set(self._baked_actors.tolist())
+            | {g.actor_index for g in scene.static_geoms}), np.int64)
         art_list, art_bodies = [], []
         for g in scene.art_geoms:
             slot_g = scene.articulations[g.art_index]
@@ -349,10 +364,29 @@ class Simulator:
         self._fused_ball_bodies = np.asarray(
             [fb.body_start for fb in scene.free_bodies])
 
+    def _baked_roots_moved(self, state: SimState):
+        """Scalar bool: some constant-folded actor root differs from the
+        scene constant (a ``set_actor_root_state_tensor_indexed`` write the
+        fused kernels cannot see)."""
+        idx = jnp.asarray(self._baked_actors)
+        baked = jnp.asarray(self.scene.initial_root[self._baked_actors, 0:7])
+        return jnp.any(state.root[:, idx, 0:7] != baked[None])
+
     def step(self, state: SimState, targets, efforts) -> SimState:
-        """Batched step; routes to the fused Pallas path when eligible."""
+        """Batched step; routes to the fused Pallas path when eligible.
+
+        Correctness guard: actors whose pose is folded into the kernels
+        (fixed articulation bases, static actors) are compared against the
+        scene constants; if any was rewritten at runtime the step runs on
+        the XLA path, which reads every pose from the state."""
         if ((self._pallas_kernels is not None or self._fused_floating is not None)
                 and state.root.shape[0] % 128 == 0):
+            if self._baked_actors.size:
+                return jax.lax.cond(
+                    self._baked_roots_moved(state),
+                    lambda s: self._step_vmapped(s, targets, efforts),
+                    lambda s: self._step_batched_pallas(s, targets, efforts),
+                    state)
             return self._step_batched_pallas(state, targets, efforts)
         return self._step_vmapped(state, targets, efforts)
 
@@ -362,20 +396,27 @@ class Simulator:
         path — they are folded as compile-time constants)."""
         if (getattr(self, "_fused_dr", None) is not None
                 and state.root.shape[0] % 128 == 0):
-            dt_s = self.dt / self.substeps
-            state = state._replace(
-                net_contact_force=jnp.zeros_like(state.net_contact_force))
-            sl = slice(self._fused_slot.dof_start, self._fused_slot.dof_end)
-            dr_chan = jnp.concatenate([
-                dr.kp_scale[:, sl], dr.kd_scale[:, sl],
-                dr.lower_shift[:, sl], dr.upper_shift[:, sl],
-                dr.mass_scale[:, None], dr.gravity_offset,
-                dr.friction_scale[:, None], dr.restitution_scale[:, None],
-            ], axis=1)
-            for _ in range(self.substeps):
-                state = self._substep_fused(state, targets, efforts, dt_s,
-                                            dr_chan=dr_chan)
-            return state
+            def fused(state):
+                dt_s = self.dt / self.substeps
+                state = state._replace(
+                    net_contact_force=jnp.zeros_like(state.net_contact_force))
+                sl = slice(self._fused_slot.dof_start, self._fused_slot.dof_end)
+                dr_chan = jnp.concatenate([
+                    dr.kp_scale[:, sl], dr.kd_scale[:, sl],
+                    dr.lower_shift[:, sl], dr.upper_shift[:, sl],
+                    dr.mass_scale[:, None], dr.gravity_offset,
+                    dr.friction_scale[:, None], dr.restitution_scale[:, None],
+                ], axis=1)
+                for _ in range(self.substeps):
+                    state = self._substep_fused(state, targets, efforts, dt_s,
+                                                dr_chan=dr_chan)
+                return state
+            if self._baked_actors.size:
+                return jax.lax.cond(
+                    self._baked_roots_moved(state),
+                    lambda s: self._step_dr_vmapped(s, targets, efforts, dr),
+                    fused, state)
+            return fused(state)
         return self._step_dr_vmapped(state, targets, efforts, dr)
 
     def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
