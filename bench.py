@@ -8,8 +8,12 @@ Isaac Gym paper reports O(1e5-1e6) env-steps/s/GPU for humanoid-class tasks
 on A100; the build target is >= 1M env-steps/s per host at 4096 envs.
 ``vs_baseline`` is therefore value / 1e6 (the north-star target).
 
-The measured step is the FULL fused env step: PD control + articulated
-dynamics + 2 substeps of contacts + reward + auto-reset + 80-dim obs.
+The measured step is the FULL fused env step: per-step randomized actions
+(uniform in [-1, 1], exercising the ball<->paddle joint-space reaction path)
++ PD control + articulated dynamics + 2 substeps of contacts + reward +
+auto-reset + obs.
+
+Usage: python bench.py [num_envs] [task_name]
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import sys
 import time
 
 NUM_ENVS = 4096
+TASK = "HumanoidPingpongTiltNoEarlyStopG1"
 CHUNK = 100          # env steps per timed device call (scan inside jit)
 REPEATS = 5
 
@@ -33,36 +38,41 @@ def main():
     import isaacgym_tpu
 
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else NUM_ENVS
-    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNoEarlyStopG1",
-                            num_envs=num_envs)
+    task = sys.argv[2] if len(sys.argv) > 2 else TASK
+    env = isaacgym_tpu.make(seed=0, task=task, num_envs=num_envs)
     state, obs = env.reset()
     step = env.step_fn
 
-    def roll(state, actions):
-        def body(s, _):
-            s, _obs, _rew, _done, _info = step(s, actions)
-            return s, None
-        state, _ = jax.lax.scan(body, state, None, length=CHUNK)
-        return state
+    def roll(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, ka = jax.random.split(k)
+            a = jax.random.uniform(ka, (num_envs, env.num_actions),
+                                   minval=-1.0, maxval=1.0)
+            s, _obs, _rew, _done, _info = step(s, a)
+            return (s, k), None
+        (state, key), _ = jax.lax.scan(body, (state, key), None, length=CHUNK)
+        return state, key
 
     roll_jit = jax.jit(roll, donate_argnums=(0,))
-    actions = jnp.zeros((num_envs, env.num_actions))
+    key = jax.random.PRNGKey(0)
 
     # warmup/compile
-    state = roll_jit(state, actions)
+    state, key = roll_jit(state, key)
     jax.block_until_ready(state)
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        state = roll_jit(state, actions)
+        state, key = roll_jit(state, key)
         jax.block_until_ready(state)
         times.append(time.perf_counter() - t0)
 
     best = min(times)
     steps_per_s = num_envs * CHUNK / best
+    suffix = "humanoid_pingpong" if task == TASK else task
     print(json.dumps({
-        "metric": f"env_steps_per_s_{num_envs}envs_humanoid_pingpong",
+        "metric": f"env_steps_per_s_{num_envs}envs_{suffix}",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / 1e6, 4),

@@ -47,10 +47,6 @@ def disc_loss(apply_fn, params, agent_obs, demo_obs, grad_penalty: float = 5.0):
     demo_logits = apply_fn(params, demo_obs)
     loss_agent = jnp.mean((agent_logits + 1.0) ** 2)
     loss_demo = jnp.mean((demo_logits - 1.0) ** 2)
-
-    def demo_sum(p):
-        return jnp.sum(apply_fn(p, demo_obs))
-
     grads = jax.grad(lambda o: jnp.sum(apply_fn(params, o)))(demo_obs)
     gp = jnp.mean(jnp.sum(grads ** 2, axis=-1))
     total = 0.5 * (loss_agent + loss_demo) + grad_penalty * gp

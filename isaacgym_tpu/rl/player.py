@@ -34,20 +34,28 @@ def play(env, trainer, train_state, episodes: int = 4, sigma: Optional[float] = 
     done_returns = []
     hits = 0
     steps = 0
+    prev_hit = np.zeros(B, bool)
     while len(done_returns) < episodes * B and steps < env.max_episode_length * (episodes + 1):
         key, k = jax.random.split(key)
         env_state, obs, rew, done, info = policy_step(env_state, obs, k)
         ep_returns += np.asarray(rew)
         steps += 1
+        # paddle-hit flag is one-shot per episode: count rising edges only
+        cur_hit = np.asarray(env_state.flags.get(
+            "paddle_condition_calculated", jnp.zeros(B, bool)))
+        hits += int((cur_hit & ~prev_hit).sum())
+        prev_hit = cur_hit
         d = np.asarray(done)
         if d.any():
             done_returns.extend(ep_returns[d].tolist())
             ep_returns[d] = 0.0
-        hits += int(np.asarray(env_state.flags.get(
-            "paddle_condition_calculated", jnp.zeros(B, bool))).sum())
+            prev_hit = prev_hit & ~d
+    n_ep = len(done_returns)
     return {
-        "episodes": len(done_returns),
+        "episodes": n_ep,
         "return_mean": float(np.mean(done_returns)) if done_returns else 0.0,
         "return_std": float(np.std(done_returns)) if done_returns else 0.0,
+        "hits": hits,
+        "hit_rate": float(hits) / max(n_ep, 1),
         "steps": steps,
     }

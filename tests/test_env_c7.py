@@ -113,14 +113,25 @@ def test_no_early_stop_episode_length(env):
 
 
 def test_reset_keeps_dof_state(env):
-    """C7 keeps the humanoid pose across resets (reference :888-901)."""
+    """C7 keeps the humanoid pose across resets (reference :888-901): the
+    DOF state must be CONTINUOUS through the auto-reset step (not restored
+    to the initial pose), while the ball root does re-randomize."""
     state, obs = env.reset()
     B = env.num_envs
     actions = jnp.full((B, env.num_actions), 0.3)
-    for _ in range(env.max_episode_length):
+    for _ in range(env.max_episode_length - 2):
         state, obs, rew, done, info = env.step(state, actions)
-    # dof positions should not be zero after the auto-reset (pose kept)
-    assert np.abs(np.asarray(state.sim.dof_pos)).max() > 0.05
+    q_pre = np.asarray(state.sim.dof_pos).copy()
+    ball_pre = np.asarray(state.sim.root[:, 2, 0:3]).copy()
+    state, obs, rew, done, info = env.step(state, actions)  # reset fires here
+    assert np.asarray(done).all()
+    q_post = np.asarray(state.sim.dof_pos)
+    # continuous through reset: within one physics step of motion, and NOT
+    # snapped back to the all-zeros initial pose
+    assert np.abs(q_post - q_pre).max() < 0.2
+    assert np.abs(q_post).max() > 0.05
+    # the ball, by contrast, was re-launched
+    assert np.abs(np.asarray(state.sim.root[:, 2, 0:3]) - ball_pre).max() > 0.3
 
 
 def test_obs_heading_frame_invariance(env):
