@@ -79,12 +79,14 @@ class MotionLib:
         # pad clips to a common length so state lookup is one gather
         Tm = int(self._lengths_frames.max())
 
-        def pad(key, dim):
+        def pad(key, dim, fill=0.0):
             out = []
             for c in self._clips:
                 a = c.get(key)
                 if a is None:
-                    a = np.zeros((c["dof_pos"].shape[0],) + dim, np.float32)
+                    a = np.full((c["dof_pos"].shape[0],) + dim, fill, np.float32)
+                    if key.endswith("rot"):   # identity quats, not zeros
+                        a[..., :] = [0.0, 0.0, 0.0, 1.0]
                 pad_n = Tm - a.shape[0]
                 out.append(np.concatenate([a, np.repeat(a[-1:], pad_n, 0)]) if pad_n else a)
             return jnp.asarray(np.stack(out))
@@ -93,6 +95,19 @@ class MotionLib:
         self.root_rot = pad("root_rot", (4,))
         self.dof_pos = pad("dof_pos", (num_dofs,))
         self.dof_vel = pad("dof_vel", (num_dofs,))
+        # per-body kinematics (key-body obs for imitation/AMP; reference
+        # MotionLib.get_motion_state key_pos surface, dead call sites at
+        # …no_earlystop.py:883-975)
+        jb = next((c["body_pos"].shape[1] for c in self._clips if "body_pos" in c),
+                  None)
+        self.num_bodies = jb
+        if jb is not None:
+            self.body_pos = pad("body_pos", (jb, 3))
+            self.body_rot = pad("body_rot", (jb, 4))
+        else:
+            self.body_pos = self.body_rot = None
+        self._key_body_ids = (np.asarray(key_body_ids)
+                              if key_body_ids is not None else None)
         self.num_motions = len(self._clips)
 
     @property
@@ -134,10 +149,24 @@ class MotionLib:
         q0 = self.root_rot[motion_ids, f0]
         q1 = self.root_rot[motion_ids, f1]
         root_rot = rot.slerp(q0, q1, w)
-        return {
+        out = {
             "root_pos": root_pos, "root_rot": root_rot,
             "dof_pos": dof_pos, "dof_vel": dof_vel,
         }
+        if self.body_pos is not None:
+            a = self.body_pos[motion_ids, f0]
+            b = self.body_pos[motion_ids, f1]
+            body_pos = a + (b - a) * w[:, :, None]
+            J = a.shape[1]
+            qb0 = self.body_rot[motion_ids, f0].reshape(-1, 4)
+            qb1 = self.body_rot[motion_ids, f1].reshape(-1, 4)
+            wb = jnp.repeat(w, J, axis=0)
+            body_rot = rot.slerp(qb0, qb1, wb).reshape(-1, J, 4)
+            out["body_pos"] = body_pos
+            out["body_rot"] = body_rot
+            if self._key_body_ids is not None:
+                out["key_body_pos"] = body_pos[:, jnp.asarray(self._key_body_ids)]
+        return out
 
 
 def save_motion_clip(path: str, fps: float, root_pos, root_rot, dof_pos, dof_vel,

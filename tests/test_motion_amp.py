@@ -61,6 +61,101 @@ def test_skeleton_tree_from_urdf():
     assert sk.parent_indices[0] == -1
 
 
+def test_motion_lib_body_state(clip_dir, tmp_path):
+    """body_pos/body_rot are loaded, interpolated, and key-body selected."""
+    T, D, J = 40, 7, 5
+    t = np.linspace(0, 1, T)
+    body_pos = np.stack([np.stack([t * (j + 1), 0 * t, 0 * t], -1)
+                         for j in range(J)], 1)  # (T,J,3), linear in t
+    body_rot = np.tile([0, 0, 0, 1.0], (T, J, 1))
+    p = str(tmp_path / "clip_body.npz")
+    M.save_motion_clip(p, fps=(T - 1) / 1.0, root_pos=np.zeros((T, 3)),
+                       root_rot=np.tile([0, 0, 0, 1.0], (T, 1)),
+                       dof_pos=np.zeros((T, D)), dof_vel=np.zeros((T, D)),
+                       body_pos=body_pos.astype(np.float32),
+                       body_rot=body_rot.astype(np.float32))
+    lib = M.MotionLib(p, num_dofs=D, key_body_ids=[1, 3])
+    st = lib.get_motion_state(jnp.asarray([0, 0]), jnp.asarray([0.0, 0.5]))
+    assert st["body_pos"].shape == (2, J, 3)
+    assert st["body_rot"].shape == (2, J, 4)
+    assert st["key_body_pos"].shape == (2, 2, 3)
+    # linear motion interpolates exactly: body j at t has x = t*(j+1)
+    np.testing.assert_allclose(np.asarray(st["body_pos"][1, :, 0]),
+                               0.5 * np.arange(1, J + 1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st["key_body_pos"][1, :, 0]),
+                               [0.5 * 2, 0.5 * 4], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st["body_rot"][0]),
+                               np.tile([0, 0, 0, 1.0], (J, 1)), atol=1e-5)
+
+
+def test_amp_end_to_end_on_c7(tmp_path):
+    """VERDICT r1 item 8: record a short C7 rollout as a motion clip, build
+    AMP transition obs from it, and run 3 AMPTrainer iterations with the
+    style reward blended into the jitted PPO epoch."""
+    import isaacgym_tpu
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNoEarlyStopG1",
+                            num_envs=4, episodeLength=30)
+
+    # ---- record a rollout (env 0) as a MotionLib clip -------------------
+    state, obs = env.reset()
+    act = jnp.full((4, env.num_actions), 0.25)
+    qs, qds, os_ = [], [], []
+    for _ in range(20):
+        state, obs, rew, done, info = env.step(state, act)
+        qs.append(np.asarray(state.sim.dof_pos[0]))
+        qds.append(np.asarray(state.sim.dof_vel[0]))
+        os_.append(np.asarray(obs[0]))
+    T = len(qs)
+    clip = str(tmp_path / "c7_clip.npz")
+    M.save_motion_clip(clip, fps=60.0, root_pos=np.zeros((T, 3)),
+                       root_rot=np.tile([0, 0, 0, 1.0], (T, 1)),
+                       dof_pos=np.stack(qs), dof_vel=np.stack(qds))
+    lib = M.MotionLib(clip, num_dofs=env.num_actions)
+
+    # ---- locate the dof_pos/dof_vel slice inside the obs vector ---------
+    q_last, o_last = qs[-1], os_[-1]
+    off = next(i for i in range(len(o_last) - 7)
+               if np.allclose(o_last[i:i + 7], q_last, atol=1e-5))
+    nd = env.num_actions
+
+    def amp_obs_fn(o, o2):
+        feat = lambda x: x[..., off:off + 2 * nd]
+        return jnp.concatenate([feat(o), feat(o2)], axis=-1)
+
+    amp_dim = 4 * nd
+    dt = 1.0 / 60.0
+
+    def demo_sampler(key, n):
+        k1, k2 = jax.random.split(key)
+        ids = lib.sample_motions(k1, n)
+        t0 = lib.sample_time(k2, ids) * 0.8
+        s0 = lib.get_motion_state(ids, t0)
+        s1 = lib.get_motion_state(ids, t0 + dt)
+        f = lambda s: jnp.concatenate([s["dof_pos"], s["dof_vel"] * 0.1], -1)
+        return jnp.concatenate([f(s0), f(s1)], axis=-1)
+
+    from isaacgym_tpu.rl.ppo import PPOConfig
+    cfg = PPOConfig(units=(32, 32), horizon_length=4, minibatch_size=8,
+                    mini_epochs=1)
+    trainer = A.AMPTrainer(env, cfg, amp_obs_dim=amp_dim,
+                           demo_sampler=demo_sampler, amp_obs_fn=amp_obs_fn,
+                           seed=0)
+    ppo_state, amp_state = trainer.init_state()
+    env_state, obs = trainer.reset(amp_state)
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        key, k = jax.random.split(key)
+        ppo_state, amp_state, env_state, obs, metrics = trainer.train_epoch(
+            ppo_state, amp_state, env_state, obs, k)
+    assert int(ppo_state.epoch) == 3
+    for name in ("reward_mean", "a_loss", "disc_loss", "disc_demo_logit"):
+        assert np.isfinite(float(metrics[name])), name
+    # the style reward actually flows: blended reward differs from task-only
+    demo = demo_sampler(jax.random.PRNGKey(5), 16)
+    styled = trainer.blended_reward(amp_state, jnp.zeros(16), demo)
+    assert float(jnp.abs(styled).max()) > 0.0
+
+
 def test_amp_discriminator_learns_to_separate():
     dim = 14
     rng = np.random.RandomState(0)
