@@ -19,12 +19,17 @@ import jax.numpy as jnp
 class TrajectoryRecorder:
     """Records per-step body states (and optional markers) for env 0..k-1."""
 
-    def __init__(self, body_names, max_envs: int = 1):
+    def __init__(self, body_names, max_envs: int = 1, scene=None):
         self.body_names = list(body_names)
         self.max_envs = max_envs
         self.frames: List[np.ndarray] = []
         self.markers: List[np.ndarray] = []
         self.extras: Dict[str, List[np.ndarray]] = {}
+        # geom table for the offline renderer (viewer.render)
+        self.geoms: Optional[np.ndarray] = None
+        if scene is not None:
+            from isaacgym_tpu.viewer.render import scene_geom_table
+            self.geoms = scene_geom_table(scene)
 
     def record(self, rb_states, markers: Optional[np.ndarray] = None, **extras) -> None:
         """rb_states: (B, num_bodies, 13) device or host array."""
@@ -42,6 +47,8 @@ class TrajectoryRecorder:
             "body_states": self.stacked(),
             "body_names": np.asarray(self.body_names),
         }
+        if self.geoms is not None:
+            data["geoms"] = self.geoms
         if self.markers:
             data["markers"] = np.stack(self.markers)
         for k, v in self.extras.items():
@@ -56,7 +63,8 @@ def record_env_rollout(env, policy=None, steps: int = 120, envs: int = 1,
     import jax
 
     state, obs = env.reset()
-    rec = TrajectoryRecorder(env.scene.body_names, max_envs=envs)
+    rec = TrajectoryRecorder(env.scene.body_names, max_envs=envs,
+                             scene=env.scene)
     B = env.num_envs
     rng = jax.random.PRNGKey(0)
     for _ in range(steps):
