@@ -39,6 +39,19 @@ class PingpongFamilyTask(TpuVecTask):
         self._paddle_row = int(np.nonzero(self.body_states_id == self.PADDLE_BODY)[0][0])
         self.ball_actor = self.HUMANOIDS + 1   # [h1(, h2), table, ball]
         self.table_actor = self.HUMANOIDS
+        # config-flagged heading-local heightmap observation block (reference
+        # compute_heightmap_observations + _get_meshgrid,
+        # …no_earlystop.py:379-390,1905-1937; terrain npy via env.plane.terrain)
+        hm = env.get("heightmap") or {}
+        self._heightmap_enabled = bool(hm.get("enabled", False))
+        if self._heightmap_enabled:
+            from isaacgym_tpu.models.terrain import make_meshgrid
+            self._hm_grid = make_meshgrid(
+                float(hm.get("xRange", 0.6)), float(hm.get("yRange", 0.6)),
+                int(hm.get("xSplit", 15)), int(hm.get("ySplit", 15)))
+            self._hm_offset = float(hm.get("heightOffset", 0.9))
+            env["numObservations"] = (int(env["numObservations"])
+                                      + int(self._hm_grid.shape[0]))
         super().__init__(cfg, seed=seed)
 
     # ------------------------------------------------------------------
@@ -78,7 +91,20 @@ class PingpongFamilyTask(TpuVecTask):
     def observe_single(self, sim: SimState, rb_states, flags) -> jnp.ndarray:
         hum = P.compute_humanoid_observations(rb_states, None, sim.dof_pos, sim.dof_vel)
         ball = P.compute_pingpong_observations(rb_states, None, sim.root[self.ball_actor])
-        return jnp.concatenate([hum, ball])
+        parts = [hum, ball]
+        if self._heightmap_enabled:
+            field = self.scene.spec.terrain
+            if field is None:
+                # flat world: heights are identically 0 -> offset - root z
+                hm_obs = (jnp.zeros(self._hm_grid.shape[0])
+                          - rb_states[0, 2] + self._hm_offset)
+            else:
+                from isaacgym_tpu.models.terrain import compute_heightmap_observations
+                hm_obs = compute_heightmap_observations(
+                    rb_states, None, self._hm_grid, field,
+                    height_offset=self._hm_offset)
+            parts.append(hm_obs)
+        return jnp.concatenate(parts)
 
     # convenience accessors for reward code -----------------------------
 

@@ -118,3 +118,51 @@ def test_terrain_from_config_npy(tmp_path):
     state, obs = env.reset()
     state, obs, rew, done, info = env.step(state, jnp.zeros((2, 7)))
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_heightmap_observations_wired_into_task(tmp_path):
+    """VERDICT r1 item 6: config-flagged heightmap obs block on C7 — obs
+    dims grow by the grid size and the block reflects terrain height deltas."""
+    import isaacgym_tpu
+    from isaacgym_tpu.utils.config import load_task_config
+    from isaacgym_tpu.tasks import task_registry
+
+    # sloped terrain: height rises with the row index
+    raw = np.tile(np.linspace(0.0, 0.4, 256, dtype=np.float32)[:, None], (1, 256))
+    npy = tmp_path / "slope.npy"
+    np.save(npy, raw)
+
+    def build(terrain_path):
+        cfg = load_task_config("HumanoidPingpongTiltNoEarlyStopG1")
+        cfg["env"]["numEnvs"] = 2
+        cfg["env"]["episodeLength"] = 8
+        cfg["env"]["heightmap"] = {"enabled": True, "xSplit": 5, "ySplit": 5,
+                                   "xRange": 0.6, "yRange": 0.6}
+        if terrain_path:
+            cfg["env"]["plane"]["terrain"] = str(terrain_path)
+            cfg["env"]["plane"]["horizontal_scale"] = 0.05
+            cfg["env"]["plane"]["transform_x"] = -3.0
+            cfg["env"]["plane"]["transform_y"] = -3.0
+        return task_registry()["HumanoidPingpongTiltNoEarlyStopG1"](cfg, seed=0)
+
+    env_flat = build(None)
+    env_slope = build(npy)
+    assert env_flat.num_obs == 80 + 25
+    assert env_slope.num_obs == 80 + 25
+
+    _, obs_flat = env_flat.reset()
+    _, obs_slope = env_slope.reset()
+    assert obs_flat.shape == (2, 105) and obs_slope.shape == (2, 105)
+    # base 80 dims identical at reset; heightmap block differs with terrain
+    np.testing.assert_allclose(np.asarray(obs_flat[:, :80]),
+                               np.asarray(obs_slope[:, :80]), atol=1e-5)
+    hm_flat = np.asarray(obs_flat[:, 80:])
+    hm_slope = np.asarray(obs_slope[:, 80:])
+    assert np.abs(hm_slope - hm_flat).max() > 0.01
+    # the sloped field's heightmap block varies across the grid; flat doesn't
+    assert hm_slope.std() > 1e-3
+    np.testing.assert_allclose(hm_flat.std(), 0.0, atol=1e-6)
+    # stepping keeps everything finite
+    state, obs = env_slope.reset()
+    state, obs, rew, done, info = env_slope.step(state, jnp.zeros((2, 7)))
+    assert np.isfinite(np.asarray(obs)).all()
