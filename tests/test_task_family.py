@@ -148,3 +148,141 @@ def test_c10_gradient_table_reward_scripted():
     # one-shot: second crossing with the flag set gives no table term
     r_again, _, _ = rewards_at([2.5, 0.0, 0.825], [2.0, 0.0, -1.0], f_in)
     assert float(r_in[0]) - float(r_again[0]) > 2000.0
+
+
+# ---------------------------------------------------------------------------
+# C9 alignment variant — scripted reward-event parity
+# (/root/reference/tasks/humanoid_pingpong_alignment.py:1098-1230)
+# ---------------------------------------------------------------------------
+
+def _c9_parts():
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongAlignmentG1",
+                            num_envs=2, episodeLength=30)
+    state, obs = env.reset()
+    sim1 = jax.tree.map(lambda x: x[0], state.sim)
+    bs_fn = env.sim.make_body_state_fn(env.rb_body_ids())
+    rb1 = bs_fn(state.sim)[0]
+    return env, sim1, rb1
+
+
+def _c9_reward(env, sim1, rb1, ball_pos, ball_vel, pre_vel, flags=None,
+               progress=0):
+    ball = sim1.root[env.ball_actor]
+    ball = ball.at[0:3].set(jnp.asarray(ball_pos)).at[7:10].set(jnp.asarray(ball_vel))
+    sim1 = sim1._replace(root=sim1.root.at[env.ball_actor].set(ball))
+    pre = ball.at[7:10].set(jnp.asarray(pre_vel))
+    flags = flags or {"reward_calculated": jnp.asarray(False)}
+    return env.reward_single(pre, sim1, rb1, flags, jnp.asarray(progress))
+
+
+def test_c9_velocity_flip_bonus_is_not_one_shot():
+    env, sim1, rb1 = _c9_parts()
+    pos = [1.0, 0.0, 1.0]
+    r1, _, f1 = _c9_reward(env, sim1, rb1, pos, [2.0, 0, 0], [-1.0, 0, 0])
+    r_no, _, _ = _c9_reward(env, sim1, rb1, pos, [2.0, 0, 0], [1.0, 0, 0])
+    bonus = float(r1) - float(r_no)
+    np.testing.assert_allclose(bonus, env.alpha * 2.0, rtol=1e-5)
+    # same flip with the SAME flags again -> bonus again (dense, not gated)
+    r2, _, _ = _c9_reward(env, sim1, rb1, pos, [2.0, 0, 0], [-1.0, 0, 0],
+                          flags=f1)
+    np.testing.assert_allclose(float(r2) - float(r_no), bonus, rtol=1e-5)
+
+
+def test_c9_overshoot_penalty_fires_once():
+    env, sim1, rb1 = _c9_parts()
+    pos = [3.2, 0.0, 1.0]
+    r1, _, f1 = _c9_reward(env, sim1, rb1, pos, [1.0, 0, 0], [1.0, 0, 0])
+    r_ref, _, _ = _c9_reward(env, sim1, rb1, pos, [-1.0, 0, 0], [-1.0, 0, 0])
+    # overshoot (x>=3.1 while moving +x) costs nothitTablePenalty exactly once
+    np.testing.assert_allclose(float(r1) - float(r_ref),
+                               env.not_hit_table_penalty, rtol=1e-5)
+    assert bool(f1["reward_calculated"])
+    r2, _, _ = _c9_reward(env, sim1, rb1, pos, [1.0, 0, 0], [1.0, 0, 0], flags=f1)
+    np.testing.assert_allclose(float(r2), float(r_ref), rtol=1e-5)
+
+
+def test_c9_bounce_reward_conjunction_never_fires():
+    """Faithful to the reference (:1167-1171): the same-step conjunction of
+    x<2.2 and 2.2<x<3.1 is unsatisfiable, so the hit-table reward is dead."""
+    env, sim1, rb1 = _c9_parts()
+    pos = [2.6, 0.0, 0.9]  # over the opponent half
+    r_bounce, _, fb = _c9_reward(env, sim1, rb1, pos, [1.0, 0, 0.5],
+                                 [1.0, 0, -0.5])  # z-velocity flip = bounce
+    r_plain, _, _ = _c9_reward(env, sim1, rb1, pos, [1.0, 0, 0.5],
+                               [1.0, 0, 0.5])
+    np.testing.assert_allclose(float(r_bounce), float(r_plain), rtol=1e-6)
+    assert not bool(fb["reward_calculated"])
+
+
+def test_c9_miss_penalty_every_step_and_drop_resets():
+    env, sim1, rb1 = _c9_parts()
+    hum_x = float(sim1.root[0, 0])
+    pos = [hum_x - 0.3, 0.0, 1.0]
+    r1, _, f1 = _c9_reward(env, sim1, rb1, pos, [-1.0, 0, 0], [-1.0, 0, 0])
+    r2, _, _ = _c9_reward(env, sim1, rb1, pos, [-1.0, 0, 0], [-1.0, 0, 0],
+                          flags=f1)
+    np.testing.assert_allclose(float(r1), float(r2), rtol=1e-6)  # per-step
+    # behind the robot the miss penalty is included
+    r_front, _, _ = _c9_reward(env, sim1, rb1, [1.0, 0.0, 1.0],
+                               [-1.0, 0, 0], [-1.0, 0, 0])
+    assert float(r1) < float(r_front)
+    # early stop when the ball drops below z=0.1
+    _, reset, _ = _c9_reward(env, sim1, rb1, [1.0, 0.0, 0.05],
+                             [-1.0, 0, 0], [-1.0, 0, 0])
+    assert bool(reset)
+
+
+# ---------------------------------------------------------------------------
+# C11 draft 5-actor — effort drive + symmetric two-ball reward
+# (/root/reference/tasks/humanoid_pingpong.py:581-585,622-667)
+# ---------------------------------------------------------------------------
+
+def test_c11_effort_drive_scales_with_motor_efforts_and_power_scale():
+    env1 = isaacgym_tpu.make(seed=0, task="HumanoidPingpong5ActorG1",
+                             num_envs=2, episodeLength=20)
+    env2 = isaacgym_tpu.make(seed=0, task="HumanoidPingpong5ActorG1",
+                             num_envs=2, episodeLength=20, powerScale=0.5)
+    a = jnp.full((2, 52), 0.01)
+    t1, e1 = env1.action_to_drive(a)
+    t2, e2 = env2.action_to_drive(a)
+    efforts = np.concatenate([env1.scene.articulations[0].model.tree.effort] * 2)
+    np.testing.assert_allclose(np.asarray(e1),
+                               np.broadcast_to(0.01 * efforts, (2, 52)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e2), 0.5 * np.asarray(e1), rtol=1e-5)
+    # the applied torque lands in dof_force (clipped at the effort limits)
+    state, obs = env1.reset()
+    state, *_ = env1.step(state, a)
+    np.testing.assert_allclose(
+        np.asarray(state.sim.dof_force),
+        np.broadcast_to(np.clip(0.01 * efforts, -efforts, efforts), (2, 52)),
+        atol=1e-4)
+
+
+def test_c11_reward_symmetric_across_robots():
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpong5ActorG1",
+                            num_envs=2, episodeLength=20)
+    state, obs = env.reset()
+    sim1 = jax.tree.map(lambda x: x[0], state.sim)
+    bs_fn = env.sim.make_body_state_fn(env.rb_body_ids())
+    rb1 = bs_fn(state.sim)[0]
+    p1, p2 = np.asarray(rb1[0, 0:3]), np.asarray(rb1[1, 0:3])
+    offs = np.asarray([0.3, 0.1, 0.2])
+    # equidistant from both paddles so its residual 1/(1+d^2) term cancels
+    far = (p1 + p2) / 2 + np.asarray([0.0, 0.0, 50.0])
+
+    def rew(b1_pos, b2_pos):
+        root = sim1.root.at[env.BALL1, 0:3].set(jnp.asarray(b1_pos))
+        root = root.at[env.BALL2, 0:3].set(jnp.asarray(b2_pos))
+        s = sim1._replace(root=root)
+        r, _, _ = env.reward_single(s.root[env.ball_actor], s, rb1, {},
+                                    jnp.asarray(0))
+        return float(r)
+
+    # ball2 near paddle1 vs the mirrored ball1 near paddle2: same reward
+    r_a = rew(far, p1 + offs)
+    r_b = rew(p2 + offs, far)
+    np.testing.assert_allclose(r_a, r_b, rtol=1e-5)
+    # closer ball -> larger reward for either robot
+    assert rew(far, p1 + 0.5 * offs) > r_a
+    assert rew(p2 + 0.5 * offs, far) > r_b
