@@ -160,6 +160,27 @@ class PPOTrainer:
     # ------------------------------------------------------------------
 
     def _train_epoch(self, ts: PPOTrainState, env_state, obs):
+        """One full PPO epoch = rollout+GAE then minibatch updates.
+
+        Factored into ``_rollout_and_gae`` / ``_update`` so a profiler can
+        jit and time each phase separately (docs/PERF.md); ``train_epoch``
+        still jits the composition as one graph.
+        """
+        env_state, last_obs, rng, batch, obs_stats, value_stats, roll_metrics = \
+            self._rollout_and_gae(ts, env_state, obs)
+        rng, k = jax.random.split(rng)
+        params, opt_state, last_lr, aux = self._update(ts, batch, obs_stats, k)
+
+        metrics = {**roll_metrics,
+                   **{k_: v[-1] for k_, v in aux.items()},
+                   "last_lr": last_lr}
+        new_ts = PPOTrainState(
+            params=params, opt_state=opt_state, obs_stats=obs_stats,
+            value_stats=value_stats, rng=rng, epoch=ts.epoch + 1,
+            last_lr=last_lr)
+        return new_ts, env_state, last_obs, metrics
+
+    def _rollout_and_gae(self, ts: PPOTrainState, env_state, obs):
         cfg = self.cfg
         env_step = self.env.step_fn
         B = self.env.num_envs
@@ -235,6 +256,23 @@ class PPOTrainer:
             adv=adv.reshape(T),
             returns_n=returns_n.reshape(T),
         )
+        ep_done_f = traj["ep_done"].astype(jnp.float32)
+        # episode stats as SUMS (multi-host safe: psum sums, not means;
+        # SURVEY.md §7 hard part 6)
+        roll_metrics = {
+            "episode_return_sum": jnp.sum(traj["ep_return"]),
+            "episode_length_sum": jnp.sum(traj["ep_len"].astype(jnp.float32)),
+            "episode_count": jnp.sum(ep_done_f),
+            "reward_mean": traj["reward"].mean(),
+            "episode_reward_scale": rewards.mean(),
+            "value_mean": traj["value"].mean(),
+            "adv_std": adv.std(),
+        }
+        return env_state, last_obs, rng, batch, obs_stats, value_stats, roll_metrics
+
+    def _update(self, ts: PPOTrainState, batch, obs_stats, rng):
+        cfg = self.cfg
+        T = batch["logp"].shape[0]
         mb = min(cfg.minibatch_size, T)
         num_mb = T // mb
 
@@ -306,27 +344,7 @@ class PPOTrainer:
                 minibatch_step, (params, opt_state, lr), perm)
             return (params, opt_state, lr), jax.tree.map(jnp.mean, aux)
 
-        rng, k = jax.random.split(rng)
-        epoch_keys = jax.random.split(k, cfg.mini_epochs)
+        epoch_keys = jax.random.split(rng, cfg.mini_epochs)
         (params, opt_state, last_lr), aux = jax.lax.scan(
             epoch_step, (ts.params, ts.opt_state, lr0), epoch_keys)
-
-        # episode stats as SUMS (multi-host safe: psum sums, not means;
-        # SURVEY.md §7 hard part 6)
-        ep_done_f = traj["ep_done"].astype(jnp.float32)
-        metrics = {
-            "episode_return_sum": jnp.sum(traj["ep_return"]),
-            "episode_length_sum": jnp.sum(traj["ep_len"].astype(jnp.float32)),
-            "episode_count": jnp.sum(ep_done_f),
-            "reward_mean": traj["reward"].mean(),
-            "episode_reward_scale": rewards.mean(),
-            "value_mean": traj["value"].mean(),
-            "adv_std": adv.std(),
-            **{k_: v[-1] for k_, v in jax.tree.map(lambda x: x, aux).items()},
-        }
-        metrics["last_lr"] = last_lr
-        new_ts = PPOTrainState(
-            params=params, opt_state=opt_state, obs_stats=obs_stats,
-            value_stats=value_stats, rng=rng, epoch=ts.epoch + 1,
-            last_lr=last_lr)
-        return new_ts, env_state, last_obs, metrics
+        return params, opt_state, last_lr, aux

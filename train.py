@@ -80,9 +80,13 @@ def main(argv):
     trainer = PPOTrainer(env, ppo_cfg, seed=seed)
     ts = trainer.init_state()
     checkpoint_path = str(cfg.get("checkpoint") or "")
+    start_epoch = 0
     if checkpoint_path:
         ts = ckpt.restore(checkpoint_path, ts)
-        print(f"restored checkpoint from {checkpoint_path}")
+        # resume epoch numbering where the checkpoint left off (reference
+        # rl_games restores epoch_num the same way, a2c_common.restore)
+        start_epoch = int(ts.epoch)
+        print(f"restored checkpoint from {checkpoint_path} (epoch {start_epoch})")
 
     env_state, obs = env.reset()
 
@@ -99,8 +103,8 @@ def main(argv):
           f"{ppo_cfg.horizon_length}, {max_iters} epochs, seed {seed}", flush=True)
     t_start = time.time()
     steps_per_epoch = env.num_envs * ppo_cfg.horizon_length
-    t_last, it_last = time.time(), 0
-    for it in range(max_iters):
+    t_last, it_last = time.time(), start_epoch
+    for it in range(start_epoch, max_iters):
         ts, env_state, obs, metrics = trainer.train_epoch(ts, env_state, obs)
         if rank == 0 and (it < 3 or it % 10 == 0):
             rm = float(metrics["reward_mean"])  # blocks: epoch really done
