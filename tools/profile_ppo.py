@@ -73,7 +73,8 @@ def _time(fn, *args, repeats=5, **kw):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
+    overrides = [a for a in argv if "=" in a and not a.startswith("--")]
+    args = [a for a in argv if not a.startswith("--") and "=" not in a]
     num_envs = int(args[0]) if args else 4096
     task = args[1] if len(args) > 1 else "HumanoidPingpongTiltNoEarlyStopG1"
     trace_dir = None
@@ -93,7 +94,7 @@ def main(argv):
     from isaacgym_tpu.tasks import task_registry
     from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer
 
-    cfg = compose(task, [f"num_envs={num_envs}"])
+    cfg = compose(task, [f"num_envs={num_envs}"] + overrides)
     env = task_registry()[task](cfg["task"], seed=0)
     pcfg = PPOConfig.from_train_cfg(cfg.get("train", {}))
     trainer = PPOTrainer(env, pcfg, seed=0)
@@ -140,9 +141,11 @@ def main(argv):
     flops_update = pcfg.mini_epochs * num_mb * mb * 3.0 * fwd  # fwd+bwd=3x
     dev = jax.devices()[0]
     peak = None
-    for k, v in _PEAKS.items():
+    # most-specific kind first ("TPU v5 lite" also contains "TPU v5")
+    for k in sorted(_PEAKS, key=len, reverse=True):
         if k in dev.device_kind:
-            peak = v["bf16"]
+            peak = _PEAKS[k]["bf16"]
+            break
     report = {
         "task": task, "num_envs": B, "horizon": H, "samples_per_epoch": T,
         "minibatch": mb, "num_minibatches": num_mb, "mini_epochs": pcfg.mini_epochs,
