@@ -153,3 +153,31 @@ def compose(task: str, overrides: Optional[List[str]] = None) -> Dict[str, Any]:
 def load_task_config(task: str, overrides: Optional[List[str]] = None) -> Dict[str, Any]:
     """Resolved task sub-config (the dict handed to the task class)."""
     return compose(task, overrides)["task"]
+
+
+def preprocess_train_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Inject launcher-level fields into the rl_games-style train config and
+    apply the PBT ``model_size_multiplier`` network mutation — capability of
+    the reference ``preprocess_train_config`` (/root/reference/train.py:38-68).
+
+    Mutates and returns ``cfg['train']``. Tolerates missing keys the same way
+    the reference's ``try/except KeyError`` does.
+    """
+    train = cfg.get("train") or {}
+    params = train.setdefault("params", {})
+    train_cfg = params.setdefault("config", {})
+    train_cfg["device"] = cfg.get("rl_device", "tpu")
+    pbt = cfg.get("pbt") or {}
+    train_cfg["population_based_training"] = bool(pbt.get("enabled", False))
+    train_cfg["pbt_idx"] = pbt.get("policy_idx") if pbt.get("enabled") else None
+    train_cfg["full_experiment_name"] = cfg.get("full_experiment_name")
+    try:
+        mlp = params["network"]["mlp"]
+        multiplier = mlp["model_size_multiplier"]
+        if multiplier != 1:
+            mlp["units"] = [u * multiplier for u in mlp["units"]]
+            print(f"Modified MLP units by x{multiplier} to {mlp['units']}")
+    except KeyError:
+        pass
+    cfg["train"] = train
+    return train

@@ -49,6 +49,24 @@ def test_ppo_config_from_reference_yaml():
     assert ppo.reward_scale == 0.01
 
 
+def test_preprocess_train_config_model_size_multiplier():
+    """PBT network-mutation surface (/root/reference/train.py:38-68)."""
+    from isaacgym_tpu.utils.config import compose, preprocess_train_config
+    cfg = compose("HumanoidPingpongTiltNoEarlyStopG1",
+                  ["train.params.network.mlp.model_size_multiplier=2",
+                   "pbt.enabled=true", "pbt.policy_idx=3"])
+    train = preprocess_train_config(cfg)
+    ppo = PPOConfig.from_train_cfg(train)
+    assert ppo.units == (4096, 3072, 2048, 2048, 1024, 1024)
+    tc = train["params"]["config"]
+    assert tc["population_based_training"] is True and tc["pbt_idx"] == 3
+    # multiplier 1 / absent key are no-ops
+    cfg2 = compose("HumanoidPingpongTiltNoEarlyStopG1")
+    ppo2 = PPOConfig.from_train_cfg(preprocess_train_config(cfg2))
+    assert ppo2.units == (2048, 1536, 1024, 1024, 512, 512)
+    assert cfg2["train"]["params"]["config"]["pbt_idx"] is None
+
+
 def test_ppo_config_reads_lr_schedule():
     from isaacgym_tpu.utils.config import compose
     cfg = compose("HumanoidPingpongTiltNoEarlyStopG1")

@@ -36,12 +36,13 @@ def main(argv):
 
     import numpy as np
     import jax.numpy as jnp
-    from isaacgym_tpu.utils.config import compose
+    from isaacgym_tpu.utils.config import compose, preprocess_train_config
     from isaacgym_tpu.tasks import task_registry
     from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer
     from isaacgym_tpu.rl import checkpoint as ckpt
 
     cfg = compose(task_name, overrides)
+    preprocess_train_config(cfg)  # PBT model_size_multiplier + launcher fields
     rank = jax.process_index()
     seed = int(cfg.get("seed", 42)) + rank  # rank-offset seeding (reference :120)
 
