@@ -22,6 +22,21 @@ def save(path: str, state: Any) -> None:
 
 
 def restore(path: str, template: Any) -> Any:
+    """Restore onto the *current* platform regardless of where the checkpoint
+    was saved (a TPU-saved checkpoint restores on CPU and vice versa): each
+    leaf is given an explicit single-device sharding on the local default
+    device, overriding any device metadata stored alongside the arrays."""
+    import jax
+    import numpy as np
+
     path = os.path.abspath(path)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def _args(leaf):
+        if isinstance(leaf, (jax.Array, np.ndarray)):
+            return ocp.ArrayRestoreArgs(sharding=sharding)
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree_util.tree_map(_args, template)
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(path, item=template)
+        return ckptr.restore(path, item=template, restore_args=restore_args)
