@@ -1,17 +1,21 @@
 """Fused articulated-physics Pallas TPU kernels (the hot ops).
 
-Two kernels replace the ~400 small XLA kernels per substep for fixed-base
-all-revolute articulations (the pingpong arm — the framework's hot path;
-floating-base/prismatic articulations keep the XLA path):
+Four kernel builders replace the ~400 small XLA kernels per substep for
+all-revolute articulations (prismatic joints keep the XLA path):
 
-  * ``build_arm_step`` — dynamics only (used for multi-articulation scenes,
-    contacts stay in the vmapped XLA phase consuming the exported frames and
-    packed Cholesky factor);
+  * ``build_arm_step`` — fixed-base dynamics only (contacts stay in the
+    vmapped XLA phase consuming the exported frames and packed Cholesky
+    factor);
   * ``build_fused_substep`` — the ENTIRE substep: dynamics + every ball
     contact (ground/table/net/humanoid geoms) with joint-space reactions
     through the in-kernel factor, plus optional per-env domain-randomization
     channels. Single-humanoid single-ball scenes run on this (~11M
-    env-steps/s at 4096 envs on one v5e chip).
+    env-steps/s at 4096 envs on one v5e chip);
+  * ``build_fused_substep_multi`` — K articulations + M balls per env with
+    exact per-ball net-contact-force rows and PD/effort drive (C8/C11);
+  * ``build_fused_substep_floating`` — floating base (nv = 6 + nd ≤ 33,
+    the 27-DOF C10 scene): runtime base pose, in-kernel floating solve,
+    articulated-geom ground contacts.
 
 Design (see /opt/skills/guides/pallas_guide.md):
   * data layout (nd, B//128, 128): each per-DOF channel is a full
