@@ -13,7 +13,6 @@ Subclasses implement single-env hooks; this base vmaps/jits them.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np

@@ -13,7 +13,6 @@ For n > _UNROLL_MAX we fall back to lax cholesky.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _UNROLL_MAX = 16

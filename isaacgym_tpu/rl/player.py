@@ -11,7 +11,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from isaacgym_tpu.rl import normalizer as N
 
 
 def play(env, trainer, train_state, episodes: int = 4, sigma: Optional[float] = None):

@@ -14,7 +14,6 @@ host (reference hot loop §3.2 required a device->host sync per step).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, NamedTuple, Tuple
 
 import numpy as np

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from isaacgym_tpu.env.vec_task import TpuVecTask
-from isaacgym_tpu.models.assets import generate
 from isaacgym_tpu.sim.scene import ActorSpec, DRIVE_EFFORT, PlaneParams, SceneSpec
 from isaacgym_tpu.sim.simulator import SimState
 from isaacgym_tpu.tasks import pingpong_common as P
