@@ -33,8 +33,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/isaacgym_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    import jax.numpy as jnp
-    import numpy as np
     import isaacgym_tpu
 
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else NUM_ENVS

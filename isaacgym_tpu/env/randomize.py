@@ -21,9 +21,8 @@ env-steps; ``setup_only`` properties are sampled once at t=0 and frozen.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ Subclasses implement single-env hooks; this base vmaps/jits them.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import numpy as np
 import jax
@@ -210,6 +210,12 @@ class TpuVecTask:
 
         sim_reset, next_keys = jax.vmap(reset_one)(state.rng, sim)
         do = reset.astype(bool)
+        # per-episode event outcomes: boolean ``*_count`` flags latched by the
+        # reward state machine, sampled at the episode boundary before the
+        # reset clears them (reference C10 diagnostic counters,
+        # humanoid_pingpong_3_actor_all_dof.py:283-292,918-931)
+        events = {k: do & v.astype(bool)
+                  for k, v in flags.items() if k.endswith("_count")}
 
         def merge(a, b):
             mask = do.reshape((-1,) + (1,) * (a.ndim - 1))
@@ -256,5 +262,6 @@ class TpuVecTask:
             "episode_done": do,
             "episode_return": jnp.where(do, finished_return, 0.0),
             "episode_length": jnp.where(do, state.progress + 1, 0),
+            "episode_events": events,
         }
         return new_state, obs, rew, reset, info

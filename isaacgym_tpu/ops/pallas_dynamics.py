@@ -37,7 +37,7 @@ tests/test_pallas_dynamics.py.
 from __future__ import annotations
 
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 import jax

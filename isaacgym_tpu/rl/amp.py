@@ -12,9 +12,8 @@ with the base PPO epoch (task reward blended with style reward).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, NamedTuple, Sequence, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax

@@ -16,7 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -201,7 +200,9 @@ class PPOTrainer:
                        mu=mu, sigma=log_sig,
                        ep_return=info.get("episode_return", rew * 0.0),
                        ep_len=info.get("episode_length", done * 0),
-                       ep_done=info.get("episode_done", done))
+                       ep_done=info.get("episode_done", done),
+                       ep_events={k: v.astype(jnp.float32) for k, v in
+                                  info.get("episode_events", {}).items()})
             return (env_state, next_obs, rng), out
 
         (env_state, last_obs, rng), traj = jax.lax.scan(
@@ -267,6 +268,10 @@ class PPOTrainer:
             "value_mean": traj["value"].mean(),
             "adv_std": adv.std(),
         }
+        # per-episode event sums (reference C10 event-counter telemetry);
+        # sums, not rates, so multi-host reduction stays a psum
+        for k, v in traj["ep_events"].items():
+            roll_metrics[f"event_{k}_sum"] = jnp.sum(v)
         return env_state, last_obs, rng, batch, obs_stats, value_stats, roll_metrics
 
     def _update(self, ts: PPOTrainState, batch, obs_stats, rng):

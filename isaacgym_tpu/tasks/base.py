@@ -7,7 +7,6 @@ reward flags, PD position drive over the right-arm DOFs.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
 
 import numpy as np
 import jax

@@ -2,9 +2,7 @@
 (SURVEY.md §4: env-shard equivalence; §5.8 mesh design)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-import pytest
 
 import isaacgym_tpu
 from isaacgym_tpu.parallel import mesh as M

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from isaacgym_tpu.models import urdf as U
 from isaacgym_tpu.models import kinematics as K

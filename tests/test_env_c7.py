@@ -2,7 +2,6 @@
 reset semantics (SURVEY.md §4 task-parity strategy)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

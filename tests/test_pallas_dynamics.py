@@ -7,10 +7,9 @@ import jax.numpy as jnp
 import pytest
 
 from isaacgym_tpu.ops import dynamics as D
-from isaacgym_tpu.ops import linalg as LIN
 from isaacgym_tpu.ops import pallas_dynamics as PD
 from isaacgym_tpu.tasks.pingpong_common import load_tree
-from isaacgym_tpu.models.kinematics import load_asset, fk_dof_frames
+from isaacgym_tpu.models.kinematics import fk_dof_frames
 
 GRAV = np.asarray([0.0, 0.0, -9.81], np.float32)
 DT = 1.0 / 240.0

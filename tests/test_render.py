@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 import isaacgym_tpu

@@ -7,7 +7,6 @@ tests; quaternion ops are validated against analytic ground truth here).
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from isaacgym_tpu.utils import rotations as rot
 

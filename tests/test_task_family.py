@@ -4,7 +4,6 @@ events, early-stop semantics (SURVEY.md §4)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 import isaacgym_tpu
 
@@ -116,6 +115,12 @@ def test_c10_27dof_floating_base():
     assert 0.7 < pelvis_z < 1.0, pelvis_z
     assert np.isfinite(np.asarray(obs)).all()
     assert not np.asarray(state.flags["fall_down_count"]).any()
+    # diagnostic *_count flags surface as per-episode event outcomes
+    # (reference event counters, ...all_dof.py:283-292,918-931)
+    assert set(info["episode_events"]) == {
+        "hit_paddle_count", "closer_to_paddle_count", "hit_table_count",
+        "fall_down_count", "cross_net_count"}
+    assert all(v.shape == (2,) for v in info["episode_events"].values())
     # ball start y/z randomized per env within the C10 ranges
     ball0 = np.asarray(env.reset()[0].sim.root[:, 2, :])
     assert np.all(ball0[:, 1] > -0.55) and np.all(ball0[:, 1] < 0.15)

@@ -6,7 +6,6 @@ import jax
 import jax.numpy as jnp
 
 from isaacgym_tpu.models import terrain as T
-from isaacgym_tpu.models import kinematics as K
 from isaacgym_tpu.sim.scene import ActorSpec, PlaneParams, SceneSpec, compile_scene
 from isaacgym_tpu.sim.simulator import Simulator
 from isaacgym_tpu.tasks import pingpong_common as P

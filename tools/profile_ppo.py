@@ -89,7 +89,6 @@ def main(argv):
     jax.config.update("jax_compilation_cache_dir", "/tmp/isaacgym_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    import jax.numpy as jnp
     from isaacgym_tpu.utils.config import compose
     from isaacgym_tpu.tasks import task_registry
     from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer

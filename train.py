@@ -34,8 +34,6 @@ def main(argv):
     from isaacgym_tpu.parallel.mesh import init_distributed
     init_distributed()
 
-    import numpy as np
-    import jax.numpy as jnp
     from isaacgym_tpu.utils.config import compose, preprocess_train_config
     from isaacgym_tpu.tasks import task_registry
     from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer
@@ -116,12 +114,18 @@ def main(argv):
             n_ep = max(scalar.get("episode_count", 0.0), 1e-9)
             scalar["episode_return_mean"] = scalar.pop("episode_return_sum", 0.0) / n_ep
             scalar["episode_length_mean"] = scalar.pop("episode_length_sum", 0.0) / n_ep
+            for k in [k for k in scalar if k.startswith("event_") and k.endswith("_sum")]:
+                scalar[k[:-4] + "_rate"] = scalar.pop(k) / n_ep
             scalar["env_steps_per_s"] = rate
             observer.after_epoch(it, scalar)
+            ev = "  ".join(f"{k[len('event_'):-len('_count_rate')]} {v:.2f}"
+                           for k, v in sorted(scalar.items())
+                           if k.startswith("event_") and k.endswith("_count_rate"))
             print(f"epoch {it:6d}  reward_mean {rm:9.3f}  "
                   f"ep_ret {scalar['episode_return_mean']:9.1f}  "
                   f"a_loss {scalar['a_loss']:.4f}  c_loss {scalar['c_loss']:.4f}  "
-                  f"kl {scalar['kl']:.4f}  {rate:,.0f} steps/s", flush=True)
+                  f"kl {scalar['kl']:.4f}  {rate:,.0f} steps/s"
+                  + (f"  [{ev}]" if ev else ""), flush=True)
         if rank == 0 and save_freq and (it + 1) % save_freq == 0:
             ckpt.save(os.path.join(run_dir, f"ckpt_{it + 1:07d}"), ts)
     if rank == 0:
