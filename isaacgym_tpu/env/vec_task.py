@@ -13,7 +13,7 @@ Subclasses implement single-env hooks; this base vmaps/jits them.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -46,6 +46,12 @@ class TpuVecTask:
 
     #: actor index of the ball within the per-env scene (subclass override)
     ball_actor: int = 2
+
+    #: flag -> event-name map surfaced as per-episode event outcomes in
+    #: ``info`` (reference event prints / C10 diagnostic counters);
+    #: None = every ``*_count`` flag under its stripped name. Subclasses may
+    #: map ``*_calculated`` one-shots too (e.g. C7's hit/miss).
+    event_flag_names: Optional[Dict[str, str]] = None
 
     def __init__(self, cfg: Dict[str, Any], seed: int = 42):
         self.cfg = cfg
@@ -210,12 +216,16 @@ class TpuVecTask:
 
         sim_reset, next_keys = jax.vmap(reset_one)(state.rng, sim)
         do = reset.astype(bool)
-        # per-episode event outcomes: boolean ``*_count`` flags latched by the
+        # per-episode event outcomes: boolean one-shot flags latched by the
         # reward state machine, sampled at the episode boundary before the
         # reset clears them (reference C10 diagnostic counters,
-        # humanoid_pingpong_3_actor_all_dof.py:283-292,918-931)
-        events = {k: do & v.astype(bool)
-                  for k, v in flags.items() if k.endswith("_count")}
+        # humanoid_pingpong_3_actor_all_dof.py:283-292,918-931, and the
+        # event prints in the C6/C7 reward fns)
+        ev_map = (self.event_flag_names if self.event_flag_names is not None
+                  else {k: k[:-len("_count")] for k in flags
+                        if k.endswith("_count")})
+        events = {name: do & flags[flag].astype(bool)
+                  for flag, name in ev_map.items()}
 
         def merge(a, b):
             mask = do.reshape((-1,) + (1,) * (a.ndim - 1))

@@ -35,6 +35,10 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
         self.not_hit_table_penalty = float(env["nothitTablePenalty"])
         super().__init__(cfg, seed=seed)
 
+    # per-episode event telemetry (reference event prints :1333-1337)
+    event_flag_names = {"condition_calculated": "hit_paddle",
+                        "reward_calculated": "hit_opponent_table"}
+
     def init_flags(self) -> Dict[str, jnp.ndarray]:
         return {
             "condition_calculated": jnp.asarray(False),

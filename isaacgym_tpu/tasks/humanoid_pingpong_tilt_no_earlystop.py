@@ -32,6 +32,10 @@ class HumanoidPingpongTiltNoEarlyStop(PingpongFamilyTask):
         env["numActions"] = 7
         super().__init__(cfg, seed=seed)
 
+    # per-episode event telemetry (reference event prints :1166-1167)
+    event_flag_names = {"paddle_condition_calculated": "hit_paddle",
+                        "missed_ball_calculated": "missed_ball"}
+
     def init_flags(self) -> Dict[str, jnp.ndarray]:
         return {
             "paddle_condition_calculated": jnp.asarray(False),

@@ -94,6 +94,29 @@ def test_miss_penalty_applied_once(env90):
         assert rewards[:, env_i].min() <= -500.0
 
 
+def test_miss_event_reported_at_episode_end(env90):
+    """The latched miss flag surfaces in info["episode_events"] exactly at
+    the episode boundary (and only there)."""
+    env = env90
+    state, obs = env.reset()
+    B = env.num_envs
+    actions = jnp.zeros((B, env.num_actions))
+    latched = np.zeros(B, dtype=bool)
+    for _ in range(env.max_episode_length):
+        pre_flags = np.asarray(state.flags["missed_ball_calculated"])
+        state, obs, rew, done, info = env.step(state, actions)
+        ev = np.asarray(info["episode_events"]["missed_ball"])
+        done_np = np.asarray(done)
+        assert not np.any(ev & ~done_np), "event outside episode boundary"
+        if done_np.any():
+            latched |= ev
+            # at the boundary the event equals the latched one-shot state
+            # (pre-step flag OR a miss on the final step itself)
+            assert np.all(ev[done_np] >= pre_flags[done_np])
+            break
+    assert latched.any(), "no env registered a miss in a 90-step episode"
+
+
 def test_no_early_stop_episode_length(env):
     """C7 semantics: reset only at episodeLength, even when the ball drops."""
     state, obs = env.reset()
@@ -109,6 +132,13 @@ def test_no_early_stop_episode_length(env):
     assert np.all(np.asarray(info["time_outs"]))
     # after the reset merge, progress must be back at 0
     assert np.all(np.asarray(state.progress) == 0)
+    # episode-boundary event outcomes (reference event prints :1166-1167):
+    # keys present; 24 steps end before the ball can reach either the paddle
+    # or the miss plane, so both outcomes are False here (positive case in
+    # test_miss_event_reported_at_episode_end)
+    assert set(info["episode_events"]) == {"hit_paddle", "missed_ball"}
+    assert not np.any(np.asarray(info["episode_events"]["hit_paddle"]))
+    assert not np.any(np.asarray(info["episode_events"]["missed_ball"]))
 
 
 def test_reset_keeps_dof_state(env):

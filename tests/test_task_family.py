@@ -118,8 +118,8 @@ def test_c10_27dof_floating_base():
     # diagnostic *_count flags surface as per-episode event outcomes
     # (reference event counters, ...all_dof.py:283-292,918-931)
     assert set(info["episode_events"]) == {
-        "hit_paddle_count", "closer_to_paddle_count", "hit_table_count",
-        "fall_down_count", "cross_net_count"}
+        "hit_paddle", "closer_to_paddle", "hit_table", "fall_down",
+        "cross_net"}
     assert all(v.shape == (2,) for v in info["episode_events"].values())
     # ball start y/z randomized per env within the C10 ranges
     ball0 = np.asarray(env.reset()[0].sim.root[:, 2, :])

@@ -118,9 +118,9 @@ def main(argv):
                 scalar[k[:-4] + "_rate"] = scalar.pop(k) / n_ep
             scalar["env_steps_per_s"] = rate
             observer.after_epoch(it, scalar)
-            ev = "  ".join(f"{k[len('event_'):-len('_count_rate')]} {v:.2f}"
+            ev = "  ".join(f"{k[len('event_'):-len('_rate')]} {v:.2f}"
                            for k, v in sorted(scalar.items())
-                           if k.startswith("event_") and k.endswith("_count_rate"))
+                           if k.startswith("event_") and k.endswith("_rate"))
             print(f"epoch {it:6d}  reward_mean {rm:9.3f}  "
                   f"ep_ret {scalar['episode_return_mean']:9.1f}  "
                   f"a_loss {scalar['a_loss']:.4f}  c_loss {scalar['c_loss']:.4f}  "
