@@ -290,6 +290,7 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
     lo = tree.lower.astype(np.float64)
     hi = tree.upper.astype(np.float64)
     effort = tree.effort.astype(np.float64)
+    maxvel = tree.max_velocity.astype(np.float64)
     gx, gy, gz = [float(v) for v in gravity]
     kp = np.asarray(kp, np.float64)
     kd = np.asarray(kd, np.float64)
@@ -445,10 +446,13 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
                 s = s - Lm[j][i] * qdd[j]
             qdd[i] = s / Lm[i][i]
 
-        # semi-implicit Euler + joint limits (velocity zeroed at the stop)
+        # semi-implicit Euler + joint limits (velocity zeroed at the stop);
+        # DOF velocity clamped at the URDF limit (PhysX maxJointVelocity)
         q_new, qd_new = [], []
         for d in range(nd):
             v = qd[d] + dt_s * qdd[d]
+            if float(maxvel[d]) > 0.0:
+                v = jnp.clip(v, -float(maxvel[d]), float(maxvel[d]))
             p = q[d] + dt_s * v
             at_lo = p < float(lo[d])
             at_hi = p > float(hi[d])
@@ -587,6 +591,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     lo = tree.lower.astype(np.float64)
     hi = tree.upper.astype(np.float64)
     effort = tree.effort.astype(np.float64)
+    maxvel = tree.max_velocity.astype(np.float64)
     gx, gy, gz = [float(v) for v in gravity]
     kp = np.asarray(kp, np.float64)
     kd = np.asarray(kd, np.float64)
@@ -815,6 +820,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         q_new, u = [], []
         for d in range(nd):
             v = qd[d] + dt_s * qdd[d]
+            if float(maxvel[d]) > 0.0:
+                v = jnp.clip(v, -float(maxvel[d]), float(maxvel[d]))
             p = q[d] + dt_s * v
             lo_d = float(lo[d]) + losh[d]
             hi_d = float(hi[d]) + hish[d]
@@ -1059,6 +1066,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             lo=tree.lower.astype(np.float64),
             hi=tree.upper.astype(np.float64),
             effort=tree.effort.astype(np.float64),
+            maxvel=tree.max_velocity.astype(np.float64),
             kp=np.asarray(a["kp"], np.float64),
             kd=np.asarray(a["kd"], np.float64),
             drive=int(a.get("drive_mode", 0)),
@@ -1202,6 +1210,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             q_new, u = [], []
             for d in range(nd):
                 v = qd[d] + dt_s * qdd[d]
+                if float(c["maxvel"][d]) > 0.0:
+                    v = jnp.clip(v, -float(c["maxvel"][d]), float(c["maxvel"][d]))
                 p = q[d] + dt_s * v
                 at_lo = p < float(c["lo"][d])
                 at_hi = p > float(c["hi"][d])
@@ -1461,6 +1471,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                                  plane_cfg: dict,
                                  bounce_threshold: float = 0.2,
                                  drive_mode: int = 0,
+                                 max_angular_velocity: float = 64.0,
+                                 max_linear_velocity: float = 1000.0,
                                  rows_per_block: int = 8):
     """ONE Pallas kernel for the ENTIRE substep of a floating-base humanoid
     pingpong scene (C10: 27-DOF whole-body G1, nv = 33): PD/effort drive ->
@@ -1502,6 +1514,9 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     lo = tree.lower.astype(np.float64)
     hi = tree.upper.astype(np.float64)
     effort = tree.effort.astype(np.float64)
+    maxvel = tree.max_velocity.astype(np.float64)
+    max_ang = float(max_angular_velocity)
+    max_lin = float(max_linear_velocity)
     gx, gy, gz = [float(v) for v in gravity]
     kp = np.asarray(kp, np.float64)
     kd = np.asarray(kd, np.float64)
@@ -1513,6 +1528,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     # ground-contact material (matches _art_vs_ground_group)
     e_gnd = 0.5 * (0.0 + float(plane_cfg["e"]))
     mu_gnd = 0.5 * (0.8 + float(plane_cfg["mu"]))
+    max_depen = float(plane_cfg.get("max_depen", 10.0))
 
     def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bps_ref, bqt_ref, blv_ref,
                bav_ref, blp_ref, blv2_ref,
@@ -1711,13 +1727,22 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         udot = back_sub(fwd_sub(rhs))
 
         # -- semi-implicit Euler + joint limits + base integration ---------
+        # base angular velocity clamped at max_angular_velocity (reference
+        # AssetOptions.max_angular_velocity); DOF velocity at the URDF limit
+        # (PhysX maxJointVelocity) — both required for stability parity.
         u = [None] * nv
         for c in range(6):
             u0 = w_base[c] if c < 3 else v_base[c - 3]
             u[c] = _sad2(u0, _sml(dt_s, udot[c]))
+            if c < 3 and max_ang > 0.0:
+                u[c] = jnp.clip(u[c], -max_ang, max_ang)
+            if c >= 3 and max_lin > 0.0:
+                u[c] = jnp.clip(u[c], -max_lin, max_lin)
         q_new = []
         for d in range(nd):
             v = _sad2(qd[d], _sml(dt_s, udot[6 + d]))
+            if float(maxvel[d]) > 0.0:
+                v = jnp.clip(v, -float(maxvel[d]), float(maxvel[d]))
             p = q[d] + dt_s * v
             at_lo = p < float(lo[d])
             at_hi = p > float(hi[d])
@@ -1885,7 +1910,9 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             v_point = j_u(cols)
             vn = v_point[2]
             active = (dist < 0.0) & (vn < 0.1)
-            bias = 0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0)
+            # capped at max_depenetration_velocity (matches _art_vs_ground_group)
+            bias = jnp.minimum(0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
+                               max_depen)
             n = (zero, zero, zero + 1.0)
             yn = fwd_sub(jt_dot(cols, n))
             w_n = sum(v_ * v_ for v_ in yn if not _isz(v_))

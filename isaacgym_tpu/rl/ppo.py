@@ -264,6 +264,10 @@ class PPOTrainer:
             "episode_length_sum": jnp.sum(traj["ep_len"].astype(jnp.float32)),
             "episode_count": jnp.sum(ep_done_f),
             "reward_mean": traj["reward"].mean(),
+            # outlier telemetry: a single exploding reward step poisons value
+            # targets long before it moves the mean
+            "reward_min": traj["reward"].min(),
+            "reward_max": traj["reward"].max(),
             "episode_reward_scale": rewards.mean(),
             "value_mean": traj["value"].mean(),
             "adv_std": adv.std(),

@@ -44,6 +44,12 @@ class ActorSpec:
     # PD gains per dof (length n_dof); None = zeros
     stiffness: Optional[np.ndarray] = None
     damping: Optional[np.ndarray] = None
+    #: rigid-body angular-velocity clamp (reference
+    #: ``AssetOptions.max_angular_velocity``; IsaacGym default 64.0, the
+    #: pingpong tasks set 100.0). Applied to the floating base.
+    max_angular_velocity: float = 64.0
+    #: linear-velocity clamp (``AssetOptions.max_linear_velocity`` default)
+    max_linear_velocity: float = 1000.0
 
 
 @dataclass
@@ -56,6 +62,11 @@ class SceneSpec:
     dt: float = 1.0 / 120.0
     substeps: int = 2
     bounce_threshold_velocity: float = 0.2
+    #: cap on the Baumgarte depenetration bias velocity (reference PhysX
+    #: ``max_depenetration_velocity``, cfg/task/*.yaml sim.physx — 10.0 in
+    #: every pingpong task). Without it a deeply-jammed ragdoll's ground
+    #: contact bias grows with penetration and the feedback loop diverges.
+    max_depenetration_velocity: float = 10.0
 
 
 @dataclass(frozen=True)
@@ -69,6 +80,8 @@ class ArticulationSlot:
     drive_mode: int
     stiffness: np.ndarray
     damping: np.ndarray
+    max_angular_velocity: float = 64.0
+    max_linear_velocity: float = 1000.0
 
 
 @dataclass(frozen=True)
@@ -151,6 +164,8 @@ def compile_scene(spec: SceneSpec) -> CompiledScene:
                 dof_start=dof_cursor, dof_end=dof_cursor + nd,
                 body_start=body_cursor, body_end=body_cursor + nb,
                 drive_mode=actor.drive_mode, stiffness=kp, damping=kd,
+                max_angular_velocity=float(actor.max_angular_velocity),
+                max_linear_velocity=float(actor.max_linear_velocity),
             )
             art_idx = len(articulations)
             articulations.append(slot)

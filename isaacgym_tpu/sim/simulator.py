@@ -79,6 +79,8 @@ class Simulator:
         self.dt = float(scene.spec.dt)
         self.substeps = int(scene.spec.substeps)
         self.bounce_threshold = float(scene.spec.bounce_threshold_velocity)
+        self.max_depenetration = float(
+            getattr(scene.spec, "max_depenetration_velocity", 10.0))
         self._build_geom_groups()
         self._step_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0))
         # step with per-env domain-randomization params (env/randomize.py)
@@ -227,9 +229,12 @@ class Simulator:
             slot.model, slot.stiffness, slot.damping,
             np.asarray(self.gravity), self.dt / self.substeps,
             ball_cfg, static_list, art_list,
-            plane_cfg=dict(e=plane.restitution, mu=plane.dynamic_friction),
+            plane_cfg=dict(e=plane.restitution, mu=plane.dynamic_friction,
+                           max_depen=self.max_depenetration),
             bounce_threshold=self.bounce_threshold,
-            drive_mode=slot.drive_mode)
+            drive_mode=slot.drive_mode,
+            max_angular_velocity=slot.max_angular_velocity,
+            max_linear_velocity=slot.max_linear_velocity)
         self._ffl_slot = slot
         self._ffl_ball = ball
 
@@ -598,8 +603,21 @@ class Simulator:
             u = u + dt_s * udot
             if model.floating:
                 omega, vel, qd_new = u[0:3], u[3:6], u[6:]
+                # base velocity clamps (AssetOptions.max_angular_velocity /
+                # max_linear_velocity)
+                ma = float(slot.max_angular_velocity)
+                if ma > 0.0:
+                    omega = jnp.clip(omega, -ma, ma)
+                ml = float(slot.max_linear_velocity)
+                if ml > 0.0:
+                    vel = jnp.clip(vel, -ml, ml)
             else:
                 qd_new = u
+            # DOF velocity clamp at the URDF limit (PhysX maxJointVelocity);
+            # 0 = unlimited. Matches the fused Pallas kernels.
+            vmax = np.where(tree.max_velocity > 0,
+                            tree.max_velocity, np.inf).astype(np.float32)
+            qd_new = jnp.clip(qd_new, -vmax, vmax)
 
             q_new = q + dt_s * qd_new
             lo, hi = jnp.asarray(tree.lower), jnp.asarray(tree.upper)
@@ -813,7 +831,10 @@ class Simulator:
         v_point = jnp.einsum("kav,v->ka", J, rt["u"])
         vn = v_point[:, 2]
         active = (dist < 0.0) & (vn < 0.1)
-        bias = 0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0)
+        # bias capped at max_depenetration_velocity (PhysX sim param): deep
+        # ragdoll penetration must not translate into unbounded push velocity
+        bias = jnp.minimum(0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
+                           self.max_depenetration)
         plane = self.scene.spec.plane
         e, mu = C.combine_material(0.0, plane.restitution, 0.8, plane.dynamic_friction)
         w_n = jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)

@@ -62,6 +62,9 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
             fixed_base=not floating_base,
             restitution=sc["humanoidRestitution"], friction=sc["humanoidFriction"],
             drive_mode=DRIVE_POS, stiffness=kp, damping=kd,
+            # reference: asset_options.max_angular_velocity = 100.0
+            # (…tilt_no_earlystop.py:417 and every other task in the family)
+            max_angular_velocity=100.0,
         ))
     actors.append(ActorSpec(
         name="pingpong_table", tree=table, pos=tuple(sc["tablePos"]),
@@ -100,6 +103,8 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
         substeps=int(sim_cfg["substeps"]),
         bounce_threshold_velocity=float(
             sim_cfg.get("physx", {}).get("bounce_threshold_velocity", 0.2)),
+        max_depenetration_velocity=float(
+            sim_cfg.get("physx", {}).get("max_depenetration_velocity", 10.0)),
     )
 
 

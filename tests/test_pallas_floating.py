@@ -158,6 +158,60 @@ def test_floating_fused_matches_xla(toy):
     assert np.isfinite(np.asarray(sf.net_contact_force)).all()
 
 
+def test_floating_random_action_stability(toy):
+    """Regression: random aggressive PD targets must never blow the state up.
+
+    PhysX stays stable under arbitrary policy actions because it clamps DOF
+    velocity at the URDF limit (maxJointVelocity) and body angular velocity
+    at AssetOptions.max_angular_velocity (= 100.0 in every reference task,
+    e.g. …tilt_no_earlystop.py:417). Without those clamps the fallen-humanoid
+    ragdoll phase of C10 diverged to NaN within ~70 steps of random actions.
+    Both the fused kernel and the XLA path enforce them now.
+    """
+    sim = toy
+    B = 128
+    nd = sim.scene.num_dofs
+    maxvel = sim.scene.articulations[0].model.tree.max_velocity  # 20 rad/s
+    state = sim.initial_state(B)
+    step_fused = jax.jit(sim._step_batched_pallas)
+    step_xla = jax.jit(sim._step_vmapped)
+    rng = np.random.RandomState(3)
+    sf = sx = state
+    for t in range(120):
+        tgt = jnp.asarray(rng.uniform(-1.2, 1.2, (B, nd)).astype(np.float32))
+        eff = jnp.zeros((B, nd))
+        sf = step_fused(sf, tgt, eff)
+        sx = step_xla(sx, tgt, eff)
+    for s in (sf, sx):
+        assert np.isfinite(np.asarray(s.dof_vel)).all()
+        assert np.isfinite(np.asarray(s.root)).all()
+        # integrator clamps at the URDF velocity limit; contact impulses are
+        # applied after the clamp, so allow the ball/ground reaction margin
+        assert np.abs(np.asarray(s.dof_vel)).max() <= float(maxvel.max()) * 2.0
+
+
+def test_dof_velocity_clamp_exact(toy):
+    """With no contact in play, post-step |dof_vel| never exceeds the URDF
+    velocity limit on either path (the clamp sits in the integrator)."""
+    sim = toy
+    B = 128
+    nd = sim.scene.num_dofs
+    maxvel = float(sim.scene.articulations[0].model.tree.max_velocity.max())
+    state = sim.initial_state(B)
+    # park the ball far away so no ball contact fires; slam the arm DOFs
+    ball_actor = sim.scene.free_bodies[0].actor_index
+    state = state._replace(
+        root=state.root.at[:, ball_actor, 0:3].set(jnp.asarray([50.0, 50.0, 50.0])))
+    tgt = jnp.full((B, nd), 2.0, jnp.float32)  # far target -> max PD torque
+    eff = jnp.zeros((B, nd))
+    step = jax.jit(sim._step_batched_pallas)
+    for _ in range(10):
+        state = step(state, tgt, eff)
+        # shoulder/elbow (DOFs 2,3) swing free of the ground: exact clamp
+        arm_vel = np.asarray(state.dof_vel)[:, 2:4]
+        assert np.abs(arm_vel).max() <= maxvel + 1e-4
+
+
 def test_floating_fused_ground_support(toy):
     """Standing biped must be supported by ground contacts on the fused
     path: base height stays near its start over half a second of sim."""

@@ -103,14 +103,29 @@ def main(argv):
     t_start = time.time()
     steps_per_epoch = env.num_envs * ppo_cfg.horizon_length
     t_last, it_last = time.time(), start_epoch
+    # episode stats accumulate across the logging stride: with episodeLength
+    # an exact multiple of the horizon (C10: 160 = 5x32) episode boundaries
+    # land only in fixed epoch phases, so a strided logger that reads one
+    # epoch's sums would alias to zero forever. Device arrays are futures —
+    # appending per-epoch does not block the training pipeline.
+    ep_keys = ("episode_count", "episode_return_sum", "episode_length_sum")
+    pending = []
+    LOG_EVERY = int(cfg.get("log_every", 10))
     for it in range(start_epoch, max_iters):
         ts, env_state, obs, metrics = trainer.train_epoch(ts, env_state, obs)
-        if rank == 0 and (it < 3 or it % 10 == 0):
+        if rank == 0:
+            pending.append({k: v for k, v in metrics.items()
+                            if k in ep_keys
+                            or (k.startswith("event_") and k.endswith("_sum"))})
+        if rank == 0 and (it < 3 or it % LOG_EVERY == 0):
             rm = float(metrics["reward_mean"])  # blocks: epoch really done
             now = time.time()
             rate = steps_per_epoch * (it - it_last + 1) / max(now - t_last, 1e-9)
             t_last, it_last = now, it + 1
             scalar = {k: float(v) for k, v in metrics.items()}
+            for k in pending[0]:
+                scalar[k] = float(sum(p[k] for p in pending))
+            pending = []
             n_ep = max(scalar.get("episode_count", 0.0), 1e-9)
             scalar["episode_return_mean"] = scalar.pop("episode_return_sum", 0.0) / n_ep
             scalar["episode_length_mean"] = scalar.pop("episode_length_sum", 0.0) / n_ep
