@@ -291,3 +291,20 @@ def test_c11_reward_symmetric_across_robots():
     # closer ball -> larger reward for either robot
     assert rew(far, p1 + 0.5 * offs) > r_a
     assert rew(p2 + 0.5 * offs, far) > r_b
+
+
+def test_stability_clamps_threaded_from_config():
+    """The three PhysX stability clamps reach the compiled scene: DOF
+    velocity limit from the URDF (maxJointVelocity = 32 rad/s on every G1
+    joint), AssetOptions.max_angular_velocity = 100.0 on the humanoid
+    (reference …tilt_no_earlystop.py:417), and
+    sim.physx.max_depenetration_velocity = 10.0 from the task yaml."""
+    env = isaacgym_tpu.make(seed=0, task="HumanoidPingpongTiltNESSparse27DOFG1",
+                            num_envs=2)
+    scene = env.sim.scene
+    slot = scene.articulations[0]
+    assert slot.max_angular_velocity == 100.0
+    assert slot.max_linear_velocity == 1000.0
+    np.testing.assert_allclose(slot.model.tree.max_velocity, 32.0)
+    assert scene.spec.max_depenetration_velocity == 10.0
+    assert env.sim.max_depenetration == 10.0
