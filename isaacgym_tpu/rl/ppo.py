@@ -51,6 +51,12 @@ class PPOConfig:
     activation: str = "elu"
     sigma_init: float = -2.0
     separate: bool = True
+    #: run the optimizer on one flattened parameter vector (optax.flatten):
+    #: collapses the per-tensor Adam/global-norm kernel launches (16 tensors
+    #: for the separate actor/critic) into single fused passes. Changes the
+    #: opt_state checkpoint layout, so it is opt-in (train yaml
+    #: ``flatten_optimizer: true``).
+    flatten_optimizer: bool = False
 
     @staticmethod
     def from_train_cfg(train_cfg: Dict[str, Any]) -> "PPOConfig":
@@ -87,6 +93,7 @@ class PPOConfig:
             activation=str(mlp.get("activation", "elu")),
             sigma_init=float(sigma),
             separate=bool(net.get("separate", True)),
+            flatten_optimizer=bool(c.get("flatten_optimizer", False)),
         )
 
 
@@ -126,7 +133,8 @@ class PPOTrainer:
         def make_tx(learning_rate):
             tx = [optax.clip_by_global_norm(cfg.grad_norm)] if cfg.truncate_grads else []
             tx.append(optax.adam(learning_rate, eps=1e-8))
-            return optax.chain(*tx)
+            chain = optax.chain(*tx)
+            return optax.flatten(chain) if cfg.flatten_optimizer else chain
 
         # inject_hyperparams lets the lr schedule (rl_games constant/linear/
         # adaptive, cfg.lr_schedule) retune the lr inside the jitted epoch.
