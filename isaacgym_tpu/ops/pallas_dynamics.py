@@ -601,6 +601,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     rb_ = float(ball_cfg["radius"])
     e_ball = float(ball_cfg["restitution"])
     mu_ball = float(ball_cfg["friction"])
+    max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
     ng = len(art_geoms)
 
     def fk(q_rows):
@@ -949,6 +950,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 
         for d in range(nd):
             qdn_ref[d] = u[d]
+        # ball AssetOptions.max_linear_velocity (matches the XLA path)
+        vel = tuple(jnp.clip(v, -max_lin_ball, max_lin_ball) for v in vel)
         bpn_ref[0] = pos[0] + vel[0] * dt_s
         bpn_ref[1] = pos[1] + vel[1] * dt_s
         bpn_ref[2] = pos[2] + vel[2] * dt_s
@@ -1389,6 +1392,9 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
 
             for i3 in range(3):
                 imp_ref[(ng + NB + bi) * 3 + i3] = b_art[i3]
+            # ball AssetOptions.max_linear_velocity (matches the XLA path)
+            vel = tuple(jnp.clip(v, -float(bc.get("max_lin", 1000.0)),
+                                 float(bc.get("max_lin", 1000.0))) for v in vel)
             bpn_ref[3 * bi + 0] = pos[0] + vel[0] * dt_s
             bpn_ref[3 * bi + 1] = pos[1] + vel[1] * dt_s
             bpn_ref[3 * bi + 2] = pos[2] + vel[2] * dt_s
@@ -1524,6 +1530,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     rb_ = float(ball_cfg["radius"])
     e_ball = float(ball_cfg["restitution"])
     mu_ball = float(ball_cfg["friction"])
+    max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
     ng = len(art_geoms)
     # ground-contact material (matches _art_vs_ground_group)
     e_gnd = 0.5 * (0.0 + float(plane_cfg["e"]))
@@ -1937,6 +1944,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         for i in range(3):
             bwn_ref[i] = u[i]
             bvn_ref[i] = u[3 + i]
+        # ball AssetOptions.max_linear_velocity (matches the XLA path)
+        vel = tuple(jnp.clip(v, -max_lin_ball, max_lin_ball) for v in vel)
         ballp_ref[0] = pos[0] + vel[0] * dt_s
         ballp_ref[1] = pos[1] + vel[1] * dt_s
         ballp_ref[2] = pos[2] + vel[2] * dt_s

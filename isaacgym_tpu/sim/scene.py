@@ -93,6 +93,7 @@ class FreeBodySlot:
     radius: float
     restitution: float
     friction: float
+    max_linear_velocity: float = 1000.0
 
 
 @dataclass(frozen=True)
@@ -185,6 +186,7 @@ def compile_scene(spec: SceneSpec) -> CompiledScene:
                 actor_index=ai, body_start=body_cursor,
                 mass=float(tree.mass[0]), radius=float(tree.geom_size[0][0]),
                 restitution=actor.restitution, friction=actor.friction,
+                max_linear_velocity=float(actor.max_linear_velocity),
             ))
         else:
             for g in range(len(tree.geom_kind)):

@@ -220,7 +220,8 @@ class Simulator:
         ball_cfg = dict(mass=ball.mass, radius=ball.radius,
                         restitution=ball.restitution, friction=ball.friction,
                         plane_e=plane.restitution,
-                        plane_mu=plane.dynamic_friction)
+                        plane_mu=plane.dynamic_friction,
+                        max_lin=ball.max_linear_velocity)
         # floating kernel: only static actors are constant-folded (the base
         # pose is a runtime input)
         self._baked_actors = np.asarray(
@@ -328,7 +329,8 @@ class Simulator:
             init = scene.initial_root[slot.actor_index]
             ball_cfg = dict(mass=ball.mass, radius=ball.radius,
                             restitution=ball.restitution, friction=ball.friction,
-                            plane_e=plane.restitution, plane_mu=plane.dynamic_friction)
+                            plane_e=plane.restitution, plane_mu=plane.dynamic_friction,
+                            max_lin=ball.max_linear_velocity)
             single_art = [dict(g, **{}) for g in art_list]
             for g in single_art:
                 g.pop("art", None)
@@ -358,7 +360,8 @@ class Simulator:
                 for sl in scene.articulations]
         balls = [dict(mass=fb.mass, radius=fb.radius, restitution=fb.restitution,
                       friction=fb.friction, plane_e=plane.restitution,
-                      plane_mu=plane.dynamic_friction)
+                      plane_mu=plane.dynamic_friction,
+                      max_lin=fb.max_linear_velocity)
                  for fb in scene.free_bodies]
         self._fused_multi = PDK.build_fused_substep_multi(
             arts, balls, static_list, art_list,
@@ -696,6 +699,11 @@ class Simulator:
                     ncf = ncf.at[ball.body_start].add(P.sum(axis=0) / self.dt)
                     ncf = ncf.at[jnp.asarray(grp.body)].add(-P / self.dt)
 
+            # AssetOptions.max_linear_velocity (default 1000): inert in play,
+            # bounds runaway states like the articulation clamps do
+            ml = float(ball.max_linear_velocity)
+            if ml > 0.0:
+                vel = jnp.clip(vel, -ml, ml)
             pos = pos + dt_s * vel
             root = root.at[ball.actor_index, 0:3].set(pos)
             root = root.at[ball.actor_index, 7:10].set(vel)
