@@ -57,3 +57,34 @@ def test_render_cli(traj_npz, tmp_path, capsys):
     out = str(tmp_path / "cli.mp4")
     main([p, out, "--fps", "30", "--width", "256", "--height", "144"])
     assert os.path.exists(out)
+
+
+def test_live_viewer_endpoints(traj_npz):
+    """Interactive viewer (N6): meta + on-demand frame rendering over HTTP,
+    orbit-camera parameters honored."""
+    import threading
+    import urllib.request
+    from isaacgym_tpu.viewer.live import serve
+
+    npz, _ = traj_npz
+    httpd = serve(str(npz), port=0)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        meta = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/meta", timeout=10).read()
+        assert b'"T"' in meta
+        jpg1 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame?t=1&az=-60&el=30&dist=3.5",
+            timeout=30).read()
+        jpg2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame?t=1&az=120&el=10&dist=6",
+            timeout=30).read()
+        assert jpg1[:2] == b"\xff\xd8" and jpg2[:2] == b"\xff\xd8"  # JPEG magic
+        assert jpg1 != jpg2  # camera moved -> different image
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10).read()
+        assert b"isaacgym_tpu viewer" in page
+    finally:
+        httpd.shutdown()
