@@ -140,3 +140,32 @@ def test_train_cli_end_to_end(tmp_path):
     assert os.path.exists("runs/pytest_cli/config.json")
     assert os.path.exists("runs/pytest_cli/metrics.jsonl")
     assert os.path.isdir("runs/pytest_cli/ckpt_final")
+
+
+def test_train_cli_episode_stats_accumulate_across_log_stride(tmp_path):
+    """Regression: with episodeLength an exact multiple of horizon, episode
+    boundaries land only in fixed epoch phases (C10: 160 = 5x32). The logger
+    must accumulate episode sums across its stride, not read one epoch's —
+    pre-fix the strided row aliased to zero episodes forever."""
+    import json, shutil, subprocess, sys
+    shutil.rmtree("runs/pytest_cli_acc", ignore_errors=True)
+    env_vars = dict(os.environ)
+    env_vars["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "train.py",
+         "task=HumanoidPingpongTiltNoEarlyStopG1", "experiment=pytest_cli_acc",
+         "num_envs=2", "max_iterations=12", "device=cpu",
+         "train.params.network.mlp.units=[8,8]",
+         "train.params.config.minibatch_size=8",
+         "train.params.config.horizon_length=4",
+         # episodes last episodeLength-1 = 8 steps (reference reset
+         # semantics) -> boundary every 2nd epoch, odd epochs only; logged
+         # epoch 10 is even, so only the accumulator can see them
+         "task.env.episodeLength=9"],
+        capture_output=True, text=True, timeout=500, cwd=".", env=env_vars)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in open("runs/pytest_cli_acc/metrics.jsonl")]
+    row10 = [r for r in rows if r.get("epoch") == 10]
+    assert row10, rows
+    assert row10[0]["episode_count"] > 0
+    assert row10[0]["episode_length_mean"] == pytest.approx(8.0)
