@@ -335,10 +335,18 @@ def load_asset(path: str, floating_base: bool = False) -> KinematicTree:
     Prefers the native C++ parser (isaacgym_tpu.native, N3 parity with the
     reference's native asset loader); falls back to the Python parser, which
     is equivalence-tested against it (tests/test_native.py)."""
+    from isaacgym_tpu import native
     if path.endswith(".xml"):  # MJCF (reference keeps G1 under assets/mjcf)
         from isaacgym_tpu.models.mjcf import parse_mjcf
-        return compile_tree(parse_mjcf(path), floating_base=floating_base)
-    from isaacgym_tpu import native
+        model = None
+        if native.available():
+            try:
+                model = native.parse_mjcf_native(path)
+            except (ValueError, RuntimeError):
+                model = None
+        if model is None:
+            model = parse_mjcf(path)
+        return compile_tree(model, floating_base=floating_base)
     if native.available():
         try:
             model = native.parse_urdf_native(path)

@@ -1,9 +1,10 @@
 """ctypes binding for the native C++ asset-loader core (SURVEY.md §2 N3).
 
-Builds ``libig_urdf.so`` from ``urdf_parser.cpp`` on first use (g++, no
-external deps) and exposes :func:`parse_urdf_native` returning the same
-:class:`isaacgym_tpu.models.urdf.UrdfModel` as the Python parser. The Python
-parser remains the verified fallback (equivalence-tested in
+Builds ``libig_assets.so`` from ``urdf_parser.cpp`` + ``mjcf_parser.cpp`` on
+first use (g++, no external deps) and exposes :func:`parse_urdf_native` /
+:func:`parse_mjcf_native`, both returning the same
+:class:`isaacgym_tpu.models.urdf.UrdfModel` as the Python parsers. The
+Python parsers remain the verified fallbacks (equivalence-tested in
 tests/test_native.py); set ``ISAACGYM_TPU_NATIVE=0`` to force the fallback.
 """
 
@@ -17,8 +18,10 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libig_urdf.so")
-_SRC = os.path.join(_DIR, "urdf_parser.cpp")
+_SO = os.path.join(_DIR, "libig_assets.so")
+_SRCS = [os.path.join(_DIR, "urdf_parser.cpp"),
+         os.path.join(_DIR, "mjcf_parser.cpp")]
+_HDRS = [os.path.join(_DIR, "xml_mini.h"), os.path.join(_DIR, "ig_asset.h")]
 
 _lib = None
 _build_err: Optional[str] = None
@@ -52,8 +55,8 @@ class _IgUrdf(ctypes.Structure):
 def _build() -> Optional[str]:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
-            check=True, capture_output=True, timeout=120)
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO] + _SRCS,
+            check=True, capture_output=True, timeout=180)
         return None
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as exc:
         detail = getattr(exc, "stderr", b"") or b""
@@ -64,13 +67,15 @@ def _load():
     global _lib, _build_err
     if _lib is not None or _build_err is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
         _build_err = _build()
         if _build_err is not None:
             return None
     lib = ctypes.CDLL(_SO)
-    lib.ig_parse_urdf.restype = ctypes.POINTER(_IgUrdf)
-    lib.ig_parse_urdf.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+    for fn in ("ig_parse_urdf", "ig_parse_mjcf"):
+        getattr(lib, fn).restype = ctypes.POINTER(_IgUrdf)
+        getattr(lib, fn).argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     lib.ig_free_urdf.argtypes = [ctypes.POINTER(_IgUrdf)]
     _lib = lib
     return _lib
@@ -82,17 +87,10 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse_urdf_native(path: str):
-    """Parse via the C++ core -> UrdfModel (raises on parse errors)."""
+def _unpack(lib, ptr):
+    """IgUrdf* -> models.urdf.UrdfModel (shared by the URDF + MJCF cores)."""
     from isaacgym_tpu.models import urdf as U
 
-    lib = _load()
-    if lib is None:
-        raise RuntimeError(f"native parser unavailable: {_build_err}")
-    errbuf = ctypes.create_string_buffer(512)
-    ptr = lib.ig_parse_urdf(path.encode(), errbuf, len(errbuf))
-    if not ptr:
-        raise ValueError(f"native URDF parse failed: {errbuf.value.decode()}")
     try:
         u = ptr.contents
         nL, nJ, nG = u.n_links, u.n_joints, u.n_geoms
@@ -108,7 +106,6 @@ def parse_urdf_native(path: str):
         for i, name in enumerate(link_names):
             links[name] = U.Link(name=name, mass=float(mass[i]), com=com[i],
                                  inertia=inertia[i])
-        geom_link = arr(u.geom_link, nG).astype(int) if nG else np.zeros(0, int)
         if nG:
             geom_link = np.ctypeslib.as_array(u.geom_link, shape=(nG,)).copy()
             geom_kind = np.ctypeslib.as_array(u.geom_kind, shape=(nG,)).copy()
@@ -148,3 +145,27 @@ def parse_urdf_native(path: str):
                            joints=joints, root=roots[0])
     finally:
         lib.ig_free_urdf(ptr)
+
+
+def parse_urdf_native(path: str):
+    """Parse URDF via the C++ core -> UrdfModel (raises on parse errors)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native parser unavailable: {_build_err}")
+    errbuf = ctypes.create_string_buffer(512)
+    ptr = lib.ig_parse_urdf(path.encode(), errbuf, len(errbuf))
+    if not ptr:
+        raise ValueError(f"native URDF parse failed: {errbuf.value.decode()}")
+    return _unpack(lib, ptr)
+
+
+def parse_mjcf_native(path: str):
+    """Parse MJCF via the C++ core -> UrdfModel (raises on parse errors)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native parser unavailable: {_build_err}")
+    errbuf = ctypes.create_string_buffer(512)
+    ptr = lib.ig_parse_mjcf(path.encode(), errbuf, len(errbuf))
+    if not ptr:
+        raise ValueError(f"native MJCF parse failed: {errbuf.value.decode()}")
+    return _unpack(lib, ptr)

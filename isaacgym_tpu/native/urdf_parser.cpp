@@ -8,215 +8,27 @@
 // API consumed via ctypes (isaacgym_tpu/native/__init__.py); the Python
 // parser in models/urdf.py remains as a verified fallback.
 //
-// Build: g++ -O2 -shared -fPIC -o libig_urdf.so urdf_parser.cpp
+// Build (with the MJCF core, one shared library):
+//   g++ -O2 -shared -fPIC -std=c++17 -o libig_assets.so \
+//       urdf_parser.cpp mjcf_parser.cpp
 
-#include <cctype>
 #include <cstdio>
-#include <cstdlib>
-#include <cstring>
 #include <fstream>
 #include <map>
 #include <sstream>
 #include <string>
 #include <vector>
 
-namespace {
+#include "ig_asset.h"
+#include "xml_mini.h"
 
-// ----------------------------------------------------------------------
-// Minimal XML parser: elements + attributes (sufficient for URDF; no
-// namespaces, CDATA, or DTD handling).
-// ----------------------------------------------------------------------
-
-struct XmlNode {
-  std::string tag;
-  std::map<std::string, std::string> attrs;
-  std::vector<XmlNode> children;
-};
-
-class XmlParser {
- public:
-  explicit XmlParser(const std::string& text) : s_(text), pos_(0) {}
-
-  bool Parse(XmlNode* root, std::string* err) {
-    SkipProlog();
-    if (!ParseElement(root, err)) return false;
-    return true;
-  }
-
- private:
-  void SkipWs() {
-    while (pos_ < s_.size() && std::isspace(static_cast<unsigned char>(s_[pos_]))) pos_++;
-  }
-
-  void SkipProlog() {
-    for (;;) {
-      SkipWs();
-      if (s_.compare(pos_, 2, "<?") == 0) {
-        size_t e = s_.find("?>", pos_);
-        pos_ = (e == std::string::npos) ? s_.size() : e + 2;
-      } else if (s_.compare(pos_, 4, "<!--") == 0) {
-        size_t e = s_.find("-->", pos_);
-        pos_ = (e == std::string::npos) ? s_.size() : e + 3;
-      } else {
-        return;
-      }
-    }
-  }
-
-  bool ParseName(std::string* out) {
-    size_t start = pos_;
-    while (pos_ < s_.size() &&
-           (std::isalnum(static_cast<unsigned char>(s_[pos_])) || s_[pos_] == '_' ||
-            s_[pos_] == '-' || s_[pos_] == ':' || s_[pos_] == '.')) {
-      pos_++;
-    }
-    if (pos_ == start) return false;
-    out->assign(s_, start, pos_ - start);
-    return true;
-  }
-
-  bool ParseElement(XmlNode* node, std::string* err) {
-    SkipProlog();
-    if (pos_ >= s_.size() || s_[pos_] != '<') {
-      *err = "expected '<'";
-      return false;
-    }
-    pos_++;  // '<'
-    if (!ParseName(&node->tag)) {
-      *err = "bad tag name";
-      return false;
-    }
-    // attributes
-    for (;;) {
-      SkipWs();
-      if (pos_ >= s_.size()) {
-        *err = "unexpected eof in tag";
-        return false;
-      }
-      if (s_[pos_] == '/') {  // self-closing
-        pos_++;
-        if (pos_ < s_.size() && s_[pos_] == '>') {
-          pos_++;
-          return true;
-        }
-        *err = "bad self-close";
-        return false;
-      }
-      if (s_[pos_] == '>') {
-        pos_++;
-        break;
-      }
-      std::string key;
-      if (!ParseName(&key)) {
-        *err = "bad attr name in <" + node->tag + ">";
-        return false;
-      }
-      SkipWs();
-      if (pos_ >= s_.size() || s_[pos_] != '=') {
-        *err = "expected '=' after attr " + key;
-        return false;
-      }
-      pos_++;
-      SkipWs();
-      char quote = s_[pos_];
-      if (quote != '"' && quote != '\'') {
-        *err = "expected quote";
-        return false;
-      }
-      pos_++;
-      size_t end = s_.find(quote, pos_);
-      if (end == std::string::npos) {
-        *err = "unterminated attr value";
-        return false;
-      }
-      node->attrs[key] = s_.substr(pos_, end - pos_);
-      pos_ = end + 1;
-    }
-    // children / text until </tag>
-    for (;;) {
-      SkipProlog();
-      if (pos_ >= s_.size()) {
-        *err = "unexpected eof in <" + node->tag + ">";
-        return false;
-      }
-      if (s_[pos_] == '<') {
-        if (s_.compare(pos_, 2, "</") == 0) {
-          pos_ += 2;
-          std::string close;
-          ParseName(&close);
-          SkipWs();
-          if (pos_ < s_.size() && s_[pos_] == '>') pos_++;
-          if (close != node->tag) {
-            *err = "mismatched close tag " + close + " for " + node->tag;
-            return false;
-          }
-          return true;
-        }
-        node->children.emplace_back();
-        if (!ParseElement(&node->children.back(), err)) return false;
-      } else {
-        pos_++;  // skip text content
-      }
-    }
-  }
-
-  const std::string& s_;
-  size_t pos_;
-};
-
-void ParseFloats(const std::string& text, double* out, int n, double def = 0.0) {
-  for (int i = 0; i < n; i++) out[i] = def;
-  std::istringstream ss(text);
-  for (int i = 0; i < n; i++) {
-    if (!(ss >> out[i])) break;
-  }
-}
-
-double AttrF(const XmlNode& n, const char* key, double def = 0.0) {
-  auto it = n.attrs.find(key);
-  return it == n.attrs.end() ? def : std::atof(it->second.c_str());
-}
-
-const XmlNode* Child(const XmlNode& n, const char* tag) {
-  for (const auto& c : n.children)
-    if (c.tag == tag) return &c;
-  return nullptr;
-}
-
-}  // namespace
-
-// ----------------------------------------------------------------------
-// C API
-// ----------------------------------------------------------------------
+using igxml::AttrF;
+using igxml::Child;
+using igxml::ParseFloats;
+using igxml::XmlNode;
+using igxml::XmlParser;
 
 extern "C" {
-
-struct IgUrdf {
-  int n_links, n_joints, n_geoms;
-  double* link_mass;      // n_links
-  double* link_com;       // n_links*3
-  double* link_inertia;   // n_links*9 (row major 3x3)
-  char** link_names;
-  int* joint_kind;        // 0 fixed, 1 revolute/continuous, 2 prismatic
-  int* joint_parent;      // link index
-  int* joint_child;       // link index
-  double* joint_origin;   // n_joints*6 (xyz, rpy)
-  double* joint_axis;     // n_joints*3
-  double* joint_limit;    // n_joints*4 (lower, upper, effort, velocity)
-  double* joint_dynamics; // n_joints*3 (damping, friction, armature)
-  char** joint_names;
-  int* geom_link;
-  int* geom_kind;         // 0 sphere, 1 box, 2 cylinder
-  double* geom_origin;    // n_geoms*6
-  double* geom_size;      // n_geoms*3 (sphere r; box half-extents; cyl r, half-len)
-  char* robot_name;
-};
-
-static char* Dup(const std::string& s) {
-  char* out = static_cast<char*>(std::malloc(s.size() + 1));
-  std::memcpy(out, s.c_str(), s.size() + 1);
-  return out;
-}
 
 void ig_free_urdf(IgUrdf* u) {
   if (!u) return;
@@ -282,33 +94,14 @@ IgUrdf* ig_parse_urdf(const char* path, char* errbuf, int errlen) {
     for (const auto& c : l->children)
       if (c.tag == "collision") n_geoms++;
 
-  IgUrdf* u = static_cast<IgUrdf*>(std::calloc(1, sizeof(IgUrdf)));
-  u->n_links = n_links;
-  u->n_joints = n_joints;
-  u->n_geoms = n_geoms;
-  u->link_mass = static_cast<double*>(std::calloc(n_links, sizeof(double)));
-  u->link_com = static_cast<double*>(std::calloc(n_links * 3, sizeof(double)));
-  u->link_inertia = static_cast<double*>(std::calloc(n_links * 9, sizeof(double)));
-  u->link_names = static_cast<char**>(std::calloc(n_links, sizeof(char*)));
-  u->joint_kind = static_cast<int*>(std::calloc(n_joints, sizeof(int)));
-  u->joint_parent = static_cast<int*>(std::calloc(n_joints, sizeof(int)));
-  u->joint_child = static_cast<int*>(std::calloc(n_joints, sizeof(int)));
-  u->joint_origin = static_cast<double*>(std::calloc(n_joints * 6, sizeof(double)));
-  u->joint_axis = static_cast<double*>(std::calloc(n_joints * 3, sizeof(double)));
-  u->joint_limit = static_cast<double*>(std::calloc(n_joints * 4, sizeof(double)));
-  u->joint_dynamics = static_cast<double*>(std::calloc(n_joints * 3, sizeof(double)));
-  u->joint_names = static_cast<char**>(std::calloc(n_joints, sizeof(char*)));
-  u->geom_link = static_cast<int*>(std::calloc(n_geoms, sizeof(int)));
-  u->geom_kind = static_cast<int*>(std::calloc(n_geoms, sizeof(int)));
-  u->geom_origin = static_cast<double*>(std::calloc(n_geoms * 6, sizeof(double)));
-  u->geom_size = static_cast<double*>(std::calloc(n_geoms * 3, sizeof(double)));
+  IgUrdf* u = IgAlloc(n_links, n_joints, n_geoms);
   auto name_it = root.attrs.find("name");
-  u->robot_name = Dup(name_it == root.attrs.end() ? "robot" : name_it->second);
+  u->robot_name = IgDup(name_it == root.attrs.end() ? "robot" : name_it->second);
 
   int gi = 0;
   for (int i = 0; i < n_links; i++) {
     const XmlNode* l = links[i];
-    u->link_names[i] = Dup(l->attrs.at("name"));
+    u->link_names[i] = IgDup(l->attrs.at("name"));
     if (const XmlNode* inertial = Child(*l, "inertial")) {
       if (const XmlNode* m = Child(*inertial, "mass")) u->link_mass[i] = AttrF(*m, "value");
       if (const XmlNode* o = Child(*inertial, "origin")) {
@@ -354,7 +147,7 @@ IgUrdf* ig_parse_urdf(const char* path, char* errbuf, int errlen) {
 
   for (int j = 0; j < n_joints; j++) {
     const XmlNode* jn = joints[j];
-    u->joint_names[j] = Dup(jn->attrs.count("name") ? jn->attrs.at("name") : "joint");
+    u->joint_names[j] = IgDup(jn->attrs.count("name") ? jn->attrs.at("name") : "joint");
     std::string type = jn->attrs.count("type") ? jn->attrs.at("type") : "fixed";
     bool continuous = (type == "continuous");
     u->joint_kind[j] = (type == "revolute" || continuous) ? 1
