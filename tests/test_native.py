@@ -153,3 +153,63 @@ def test_native_mjcf_error_reporting(tmp_path):
     bad.write_text("<mujoco model='x'><worldbody></mujoco>")
     with pytest.raises(ValueError):
         native.parse_mjcf_native(str(bad))
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ toolchain unavailable")
+def test_native_mjcf_fuzz_equivalence(tmp_path):
+    """Randomized MJCF trees (depth, joint types, anchors, frames, geom mix)
+    must parse identically through both cores."""
+    from isaacgym_tpu.models.mjcf import parse_mjcf
+    rng = np.random.RandomState(7)
+    uid = [0]  # body names must be unique (duplicate names are invalid MJCF)
+
+    def rand_body(depth, idx):
+        name = f"b{depth}_{idx}_{uid[0]}"
+        uid[0] += 1
+        pos = " ".join(f"{v:.3f}" for v in rng.uniform(-0.3, 0.3, 3))
+        frame = ""
+        r = rng.rand()
+        if r < 0.3:
+            q = rng.uniform(-1, 1, 4)
+            q /= np.linalg.norm(q)
+            frame = f' quat="{q[0]:.4f} {q[1]:.4f} {q[2]:.4f} {q[3]:.4f}"'
+        elif r < 0.5:
+            e = rng.uniform(-0.5, 0.5, 3)
+            frame = f' euler="{e[0]:.3f} {e[1]:.3f} {e[2]:.3f}"'
+        joint = ""
+        if depth > 0:
+            jt = rng.choice(["hinge", "slide", "none"])
+            if jt != "none":
+                anchor = (f' pos="{rng.uniform(-0.1, 0.1):.3f} 0 0"'
+                          if rng.rand() < 0.4 else "")
+                rngstr = (f' range="{-rng.rand():.2f} {rng.rand():.2f}"'
+                          if rng.rand() < 0.7 else "")
+                joint = (f'<joint name="{name}_j" type="{jt}" axis="0 1 0"'
+                         f'{anchor}{rngstr} damping="{rng.rand():.3f}"/>')
+        g = rng.choice(["sphere", "box", "capsule", "none"])
+        geom = ""
+        if g == "sphere":
+            geom = f'<geom type="sphere" size="{0.01 + rng.rand() * 0.05:.3f}"/>'
+        elif g == "box":
+            s = rng.uniform(0.01, 0.1, 3)
+            geom = f'<geom type="box" size="{s[0]:.3f} {s[1]:.3f} {s[2]:.3f}"/>'
+        elif g == "capsule":
+            ft = rng.uniform(-0.2, 0.2, 6)
+            geom = (f'<geom type="capsule" size="0.02 0" '
+                    f'fromto="{" ".join(f"{v:.3f}" for v in ft)}"/>')
+        kids = ""
+        if depth < 3 and rng.rand() < 0.6:
+            kids = "".join(rand_body(depth + 1, k)
+                           for k in range(rng.randint(1, 3)))
+        inertial = (f'<inertial mass="{0.1 + rng.rand():.3f}" '
+                    f'pos="{rng.uniform(-0.05, 0.05):.3f} 0 0" '
+                    f'diaginertia="0.01 0.01 0.005"/>')
+        return (f'<body name="{name}" pos="{pos}"{frame}>'
+                f'{inertial}{joint}{geom}{kids}</body>')
+
+    for trial in range(25):
+        xml = (f'<mujoco model="fuzz{trial}"><worldbody>'
+               + rand_body(0, trial) + "</worldbody></mujoco>")
+        p = tmp_path / f"fuzz{trial}.xml"
+        p.write_text(xml)
+        _assert_models_equal(parse_mjcf(str(p)), native.parse_mjcf_native(str(p)))
