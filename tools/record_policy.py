@@ -77,7 +77,9 @@ def main(argv=None):
         state, obs, rew, done, info = policy_step(state, obs)
         returns += np.asarray(rew)
         hit |= np.asarray(state.flags.get(
-            "paddle_condition_calculated", jnp.zeros(B, bool)))
+            "paddle_condition_calculated",               # C5/C6/C7 family
+            state.flags.get("hit_paddle_count",          # C10 naming
+                            jnp.zeros(B, bool))))
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     npz = rec.save(args.out + ".npz")
     env_idx = int(np.argmax(hit)) if hit.any() else int(np.argmax(returns))
