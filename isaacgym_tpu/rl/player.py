@@ -13,6 +13,21 @@ import jax.numpy as jnp
 
 
 
+def resolve_hit_flag(env, flags) -> str:
+    """Name of the env-state flag that latches an actual paddle hit.
+
+    Uses the same event-name map ``vec_task`` uses for episode stats
+    (C7 latches the hit as ``paddle_condition_calculated``; C10's
+    proximity flag of that name is NOT a hit — its hit event is
+    ``hit_paddle_count``).
+    """
+    ev_map = (env.event_flag_names if getattr(env, "event_flag_names", None)
+              else {k: k[: -len("_count")] for k in flags
+                    if k.endswith("_count")})
+    return next((fl for fl, name in ev_map.items() if name == "hit_paddle"),
+                "paddle_condition_calculated")
+
+
 def play(env, trainer, train_state, episodes: int = 4, sigma: Optional[float] = None):
     """Run deterministic (or σ-override) episodes; returns aggregate stats."""
     ts = train_state
@@ -34,6 +49,7 @@ def play(env, trainer, train_state, episodes: int = 4, sigma: Optional[float] = 
     hits = 0
     steps = 0
     prev_hit = np.zeros(B, bool)
+    hit_flag = resolve_hit_flag(env, getattr(env_state, "flags", {}) or {})
     while len(done_returns) < episodes * B and steps < env.max_episode_length * (episodes + 1):
         key, k = jax.random.split(key)
         env_state, obs, rew, done, info = policy_step(env_state, obs, k)
@@ -41,7 +57,7 @@ def play(env, trainer, train_state, episodes: int = 4, sigma: Optional[float] = 
         steps += 1
         # paddle-hit flag is one-shot per episode: count rising edges only
         cur_hit = np.asarray(env_state.flags.get(
-            "paddle_condition_calculated", jnp.zeros(B, bool)))
+            hit_flag, jnp.zeros(B, bool)))
         hits += int((cur_hit & ~prev_hit).sum())
         prev_hit = cur_hit
         d = np.asarray(done)

@@ -48,6 +48,27 @@ def test_player_runs_episodes(small_env, trainer):
     assert np.isfinite(stats["return_mean"])
 
 
+def test_player_hit_flag_resolution():
+    """The player's hit counter must track the task's actual hit event:
+    C7 latches it as ``paddle_condition_calculated`` (mapped by
+    event_flag_names), C10's flag of that name is a proximity window and
+    its hit event is ``hit_paddle_count`` (default ``*_count`` map)."""
+    from isaacgym_tpu.rl.player import resolve_hit_flag
+
+    class C7Like:
+        event_flag_names = {"paddle_condition_calculated": "hit_paddle",
+                            "ball_missed": "miss"}
+
+    class C10Like:
+        event_flag_names = None
+
+    c10_flags = {"paddle_condition_calculated": None,
+                 "hit_paddle_count": None, "fall_down_count": None}
+    assert resolve_hit_flag(C7Like(), {"paddle_condition_calculated": None}) \
+        == "paddle_condition_calculated"
+    assert resolve_hit_flag(C10Like(), c10_flags) == "hit_paddle_count"
+
+
 def test_observers(tmp_path):
     run_dir = str(tmp_path / "run")
     obs = L.MultiObserver([L.EpisodeStatsObserver(), L.JsonlObserver(), L.PbtObserver(interval=1)])
