@@ -65,6 +65,8 @@ def main(argv=None):
 
     state, obs = env.reset()
     B = env.num_envs
+    from isaacgym_tpu.rl.player import resolve_hit_flag
+    hit_flag = resolve_hit_flag(env, state.flags)
     rec = TrajectoryRecorder(env.scene.body_names, max_envs=B, scene=env.scene)
     returns = np.zeros(B)
     hit = np.zeros(B, bool)
@@ -76,10 +78,7 @@ def main(argv=None):
         rec.record(np.asarray(rb), markers=marker)
         state, obs, rew, done, info = policy_step(state, obs)
         returns += np.asarray(rew)
-        hit |= np.asarray(state.flags.get(
-            "paddle_condition_calculated",               # C5/C6/C7 family
-            state.flags.get("hit_paddle_count",          # C10 naming
-                            jnp.zeros(B, bool))))
+        hit |= np.asarray(state.flags.get(hit_flag, jnp.zeros(B, bool)))
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     npz = rec.save(args.out + ".npz")
     env_idx = int(np.argmax(hit)) if hit.any() else int(np.argmax(returns))
