@@ -46,15 +46,17 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
             "no_bounce_before_half_mask": jnp.asarray(True),
         }
 
-    def reward_single(self, pre_ball_root, sim: SimState, rb_states, flags,
-                      progress) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-        c = self._common_reward_inputs(pre_ball_root, sim, rb_states)
+    def _tilt_reward_core(self, c, cond_calc, rew_calc, no_bounce):
+        """The C6 reward state machine minus the power term, on one
+        humanoid's frame-local inputs ``c``. Factored out so the 4-actor
+        task (C8) can evaluate the second robot through the table-center
+        mirror x' = 3.5 - x, which reproduces the reference's (dead)
+        ``compute_humanoid2_pingpong_reward`` windows exactly
+        (/root/reference/tasks/humanoid_pingpong_4_actor_tilt.py:1281-1440:
+        2.44 -> 1.06, 3.1 -> 0.4, net window self-symmetric).
+        Returns (reward, cond_calc, rew_calc, no_bounce)."""
         ball_pos = c["ball_pos"]
         vx = c["ball_vx"]
-
-        cond_calc = flags["condition_calculated"]
-        rew_calc = flags["reward_calculated"]
-        no_bounce = flags["no_bounce_before_half_mask"]
 
         dist = jnp.linalg.norm(c["paddle_pos"] - ball_pos)
         pos_reward = 1.0 / (1.0 + 1.5 * dist * dist)
@@ -92,10 +94,19 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
                     & (ball_pos[2] > 0.98) & (ball_pos[2] < 1.14))
         cross_net_reward = jnp.where(over_net, 400.0, 0.0)
 
-        reward = (reward + pos_reward + c["power_reward"] + velocity_reward
+        reward = (reward + pos_reward + velocity_reward
                   + hit_reward + cross_net_reward)
+        return reward, cond_calc, rew_calc, no_bounce
 
-        die = ball_pos[2] < 0.1
+    def reward_single(self, pre_ball_root, sim: SimState, rb_states, flags,
+                      progress) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        c = self._common_reward_inputs(pre_ball_root, sim, rb_states)
+        reward, cond_calc, rew_calc, no_bounce = self._tilt_reward_core(
+            c, flags["condition_calculated"], flags["reward_calculated"],
+            flags["no_bounce_before_half_mask"])
+        reward = reward + c["power_reward"]
+
+        die = c["ball_pos"][2] < 0.1
         reset = die | (progress >= self.max_episode_length - 1)
         return reward, reset, {
             "condition_calculated": cond_calc,

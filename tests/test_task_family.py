@@ -308,3 +308,99 @@ def test_stability_clamps_threaded_from_config():
     np.testing.assert_allclose(slot.model.tree.max_velocity, 32.0)
     assert scene.spec.max_depenetration_velocity == 10.0
     assert env.sim.max_depenetration == 10.0
+
+
+# ---------------------------------------------------------------------------
+# C8 two-player mode — the reference's dead humanoid2 reward
+# (/root/reference/tasks/humanoid_pingpong_4_actor_tilt.py:1281-1440) wired
+# through the table-center mirror, both obs perspectives concatenated
+# ---------------------------------------------------------------------------
+
+def _c8tp_parts():
+    env = isaacgym_tpu.make(seed=7, task="Humanoid12PingpongTiltG1",
+                            num_envs=2, twoPlayer=True, episodeLength=30)
+    state, obs = env.reset()
+    sim1 = jax.tree.map(lambda x: x[0], state.sim)
+    rb1 = env._rb_fn(state.sim)[0]
+    return env, state, obs, sim1, rb1
+
+
+def _c8tp_reward(env, sim1, rb1, ball_pos, ball_vel, pre_vel, flags=None,
+                 progress=1):
+    ball = sim1.root[env.ball_actor]
+    ball = ball.at[0:3].set(jnp.asarray(ball_pos)).at[7:10].set(jnp.asarray(ball_vel))
+    sim1 = sim1._replace(root=sim1.root.at[env.ball_actor].set(ball))
+    pre = ball.at[7:10].set(jnp.asarray(pre_vel))
+    flags = flags if flags is not None else env.init_flags()
+    return env.reward_single(pre, sim1, rb1, flags, jnp.asarray(progress))
+
+
+def test_c8_two_player_obs_layout():
+    env, state, obs, sim1, rb1 = _c8tp_parts()
+    assert env.num_obs == 188 and obs.shape == (2, 188)
+    o = np.asarray(obs[0])
+    # each 94-dim perspective starts with the humanoid's own root body in its
+    # own heading-local frame -> local position 0
+    np.testing.assert_allclose(o[0:3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(o[94:97], 0.0, atol=1e-5)
+    # both perspectives carry the same full 14-dof state block
+    np.testing.assert_allclose(o[60:88], o[154:182], atol=1e-6)
+    # ball local position differs between the two frames (different roots)
+    assert np.abs(o[88:91] - o[182:185]).max() > 0.5
+
+
+def test_c8_two_player_mirrored_hit_table_one_shot():
+    env, state, obs, sim1, rb1 = _c8tp_parts()
+    f0 = env.init_flags()
+    # humanoid2's table window is the mirror of humanoid1's (0.4 < x < 1.06,
+    # bounce with vx < 0); first bounce there earns hitTableReward once
+    r1, _, f1 = _c8tp_reward(env, sim1, rb1, [0.9, 0.0, 0.8], [-2.0, 0, 1.0],
+                             [-2.0, 0, -1.0], flags=f0)
+    assert bool(f1["reward_calculated2"]) and not bool(f1["reward_calculated"])
+    r2, _, _ = _c8tp_reward(env, sim1, rb1, [0.9, 0.0, 0.8], [-2.0, 0, 1.0],
+                            [-2.0, 0, -1.0], flags=f1)
+    np.testing.assert_allclose(float(r1) - float(r2), env.hit_table_reward,
+                               rtol=1e-5)
+    # the mirrored position/velocity triggers humanoid1's window instead,
+    # with the same one-shot delta (window parity through the mirror)
+    m1, _, g1 = _c8tp_reward(env, sim1, rb1, [2.6, 0.0, 0.8], [2.0, 0, 1.0],
+                             [2.0, 0, -1.0], flags=f0)
+    assert bool(g1["reward_calculated"]) and not bool(g1["reward_calculated2"])
+    m2, _, _ = _c8tp_reward(env, sim1, rb1, [2.6, 0.0, 0.8], [2.0, 0, 1.0],
+                            [2.0, 0, -1.0], flags=g1)
+    np.testing.assert_allclose(float(m1) - float(m2), env.hit_table_reward,
+                               rtol=1e-5)
+
+
+def test_c8_two_player_velocity_flip_and_miss():
+    env, state, obs, sim1, rb1 = _c8tp_parts()
+    f0 = env.init_flags()
+    pos = [2.5, 0.0, 1.0]
+    # humanoid2's flip: ball vx goes + -> - (toward humanoid1)
+    r1, _, f1 = _c8tp_reward(env, sim1, rb1, pos, [-3.0, 0, 0], [3.0, 0, 0],
+                             flags=f0)
+    r_no, _, _ = _c8tp_reward(env, sim1, rb1, pos, [-3.0, 0, 0], [-3.0, 0, 0],
+                              flags=f0)
+    np.testing.assert_allclose(float(r1) - float(r_no), env.alpha * 3.0,
+                               rtol=1e-5)
+    assert bool(f1["condition_calculated2"])
+    # one-shot: with the flag latched the bonus is gone
+    r2, _, _ = _c8tp_reward(env, sim1, rb1, pos, [-3.0, 0, 0], [3.0, 0, 0],
+                            flags=f1)
+    np.testing.assert_allclose(float(r2), float(r_no), rtol=1e-5)
+    # miss for humanoid2: ball past x = 3.5 + 0.05 (reference :1344-1349)
+    r_miss, _, _ = _c8tp_reward(env, sim1, rb1, [3.8, 0.0, 1.0],
+                                [1.0, 0, 0], [1.0, 0, 0], flags=f0)
+    r_front, _, _ = _c8tp_reward(env, sim1, rb1, [3.3, 0.0, 1.0],
+                                 [1.0, 0, 0], [1.0, 0, 0], flags=f0)
+    assert float(r_front) - float(r_miss) > -env.penalty * 0.5
+
+
+def test_c8_two_player_step_and_events():
+    env, state, obs, sim1, rb1 = _c8tp_parts()
+    actions = jnp.zeros((2, 14))
+    for _ in range(3):
+        state, obs, rew, done, info = env.step(state, actions)
+    assert np.isfinite(np.asarray(obs)).all()
+    assert {"hit_paddle", "hit_opponent_table", "hit_paddle2",
+            "hit_opponent_table2"} <= set(info["episode_events"])
