@@ -100,3 +100,15 @@ def set_rigid_linear_velocity(state: SimState, actor_index: int, velocity) -> Si
     """Set a free actor's linear velocity across all envs (reference
     ``set_rigid_linear_velocity`` on the ball)."""
     return state._replace(root=state.root.at[:, actor_index, 7:10].set(jnp.asarray(velocity)))
+
+
+def set_rigid_angular_velocity(state: SimState, actor_index: int, velocity) -> SimState:
+    """Angular twin of the above (reference ``set_rigid_angular_velocity``,
+    /root/reference/tasks/joint_monkey2_new.py ball spin-up)."""
+    return state._replace(root=state.root.at[:, actor_index, 10:13].set(jnp.asarray(velocity)))
+
+
+def set_actor_root_state_tensor(state: SimState, values) -> SimState:
+    """Non-indexed root-state write: replace ALL actors' roots in all envs
+    (reference ``set_actor_root_state_tensor``, 3 call sites)."""
+    return state._replace(root=jnp.broadcast_to(jnp.asarray(values), state.root.shape))

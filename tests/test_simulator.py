@@ -252,3 +252,10 @@ def test_net_contact_force_and_tensor_api():
     np.testing.assert_allclose(np.asarray(state2.dof_pos[0]), 0.0)
     np.testing.assert_allclose(np.asarray(state2.dof_pos[1]),
                                np.asarray(state.dof_pos[1]))
+    # angular-velocity setter and the non-indexed root write
+    w0 = jnp.asarray([0.0, 7.0, 0.0])
+    state3 = T.set_rigid_angular_velocity(state, 2, w0)
+    np.testing.assert_allclose(np.asarray(state3.root[:, 2, 10:13]),
+                               np.broadcast_to(np.asarray(w0), (B, 3)))
+    state4 = T.set_actor_root_state_tensor(state, jnp.zeros((3, 13)))
+    np.testing.assert_allclose(np.asarray(state4.root), 0.0)
