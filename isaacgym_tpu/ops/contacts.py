@@ -125,6 +125,42 @@ def resolve_sphere_impulse(v_ball, frame: ContactFrame, v_surf,
     return dv, dv, active
 
 
+def resolve_sphere_impulse_spin(v_ball, omega, radius, kappa,
+                                frame: ContactFrame, v_surf,
+                                restitution, friction, bounce_threshold=0.2):
+    """Spin-aware variant of :func:`resolve_sphere_impulse` (PhysX parity:
+    rigid-body friction acts at the contact *point*, so ball angular velocity
+    both feeds the tangential slip and receives the friction torque).
+
+    Sphere contact point p = c - r n. Slip velocity
+    u = v - r (omega x n) - v_surf; a tangential impulse j_t (per unit ball
+    mass) changes the slip by -(1 + kappa) j_t where kappa = m r^2 / I
+    (3/2 hollow sphere, 5/2 solid), so sticking needs
+    j_t = |u_t| / (1 + kappa) and Coulomb gives j_t = min(mu j_n, that).
+    Angular update: domega = (kappa j_t / r) (n x t_hat). The normal impulse
+    passes through the center — no torque.
+
+    Returns (dv, domega, impulse_per_mass, active).
+    """
+    n = frame.normal
+    v_rel = v_ball - v_surf
+    vn = jnp.sum(v_rel * n, axis=-1)
+    active = (frame.dist < 0.0) & (vn < 0.0)
+    e = jnp.where(jnp.abs(vn) > bounce_threshold, restitution, 0.0)
+    jn = -(1.0 + e) * vn
+    # slip at the contact point (omega x n is tangential, so vn is unchanged)
+    slip = v_rel - radius * jnp.cross(omega, n)
+    vt = slip - jnp.sum(slip * n, axis=-1)[..., None] * n
+    vt_norm = jnp.linalg.norm(vt, axis=-1)
+    jt = jnp.minimum(friction * jn, vt_norm / (1.0 + kappa))
+    t_hat = vt / jnp.maximum(vt_norm, _EPS)[..., None]
+    dv = jn[..., None] * n - jt[..., None] * t_hat
+    dv = jnp.where(active[..., None], dv, 0.0)
+    domega = (kappa / radius) * jt[..., None] * jnp.cross(n, t_hat)
+    domega = jnp.where(active[..., None], domega, 0.0)
+    return dv, domega, dv, active
+
+
 def depenetrate(pos, frame: ContactFrame, active):
     """Positional projection: push the sphere center out of penetration."""
     push = jnp.maximum(-frame.dist, 0.0)

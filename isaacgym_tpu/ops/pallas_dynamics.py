@@ -542,6 +542,7 @@ class FusedStepOutputs(NamedTuple):
     tau: jnp.ndarray         # (B, nd)
     ball_pos: jnp.ndarray    # (B, 3)
     ball_vel: jnp.ndarray    # (B, 3)
+    ball_omega: jnp.ndarray  # (B, 3) spin after friction coupling
     impulses: jnp.ndarray    # (B, ng+1, 3): per-art-geom impulse on the geom
                              # body (rows 0..ng-1) + total impulse on the ball
                              # from plane/static contacts (row ng)
@@ -602,6 +603,9 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     e_ball = float(ball_cfg["restitution"])
     mu_ball = float(ball_cfg["friction"])
     max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
+    # spin-friction coupling kappa = m r^2 / I (ops.contacts
+    # resolve_sphere_impulse_spin); 0 decouples spin
+    kappa = float(ball_cfg.get("kappa", 0.0))
     ng = len(art_geoms)
 
     def fk(q_rows):
@@ -671,28 +675,35 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         dist = jnp.where(outside, out_dist, d_in) - rb_
         return dist, n
 
-    def _resolve_static(vel, dist, n, e, mu):
-        """impulse against a static surface; returns (vel', push, dv)."""
+    def _resolve_static(vel, omg, dist, n, e, mu):
+        """spin-aware impulse against a static surface; returns
+        (vel', omega', push, dv) — mirrors ops.contacts.resolve_sphere_impulse_spin:
+        slip at the contact point is vel - r (omega x n), the tangential
+        effective inverse mass gains (1 + kappa), and friction torques the
+        ball by (kappa jt / r)(n x t_hat)."""
         vn = _dot(vel, n)
         active = (dist < 0.0) & (vn < 0.0)
         e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
         jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
-        vt = _sub(vel, _scale(n, vn))
+        slip = _sub(vel, _scale(_cross(omg, n), rb_))
+        vt = _sub(slip, _scale(n, _dot(slip, n)))
         vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
-        jt = jnp.where(active, jnp.minimum(mu * jn, vt_n), 0.0)
+        jt = jnp.where(active, jnp.minimum(mu * jn, vt_n / (1.0 + kappa)), 0.0)
         inv_vt = 1.0 / vt_n
-        dv = _sub(_scale(n, jn), _scale(vt, jt * inv_vt))
+        t_hat = _scale(vt, inv_vt)
+        dv = _sub(_scale(n, jn), _scale(t_hat, jt))
         vel2 = _add(vel, dv)
+        omg2 = _add(omg, _scale(_cross(n, t_hat), kappa / rb_ * jt))
         push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
-        return vel2, push, dv
+        return vel2, omg2, push, dv
 
     def kernel(*refs):
         if with_dr:
-            (q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref, dr_ref,
-             qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref) = refs
+            (q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref, bw_ref, dr_ref,
+             qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, bwn_ref, imp_ref) = refs
         else:
-            (q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref,
-             qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref) = refs
+            (q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref, bw_ref,
+             qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, bwn_ref, imp_ref) = refs
             dr_ref = None
         q = [q_ref[d] for d in range(nd)]
         qd = [qd_ref[d] for d in range(nd)]
@@ -841,12 +852,14 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         pos = (bp_ref[0], bp_ref[1], bp_ref[2])
         vel = (bv_ref[0] + g_eff[0] * dt_s, bv_ref[1] + g_eff[1] * dt_s,
                bv_ref[2] + g_eff[2] * dt_s)
+        omg = (bw_ref[0], bw_ref[1], bw_ref[2])
 
         # ground plane (z = 0, normal +z)
         e, mu = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0))), \
                 0.5 * (mu_ball + float(ball_cfg.get("plane_mu", 1.0)))
         dist = pos[2] - rb_
-        vel, push, dv = _resolve_static(vel, dist, (zero, zero, zero + 1.0), e, mu)
+        vel, omg, push, dv = _resolve_static(vel, omg, dist,
+                                             (zero, zero, zero + 1.0), e, mu)
         pos = _add(pos, push)
         imp_x, imp_y, imp_z = [_scale(dv, 1.0 / inv_mb)[i] for i in range(3)]
 
@@ -868,7 +881,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             n = _qrot(gq, n_local)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
-            vel, push, dv = _resolve_static(vel, dist, n, e, mu)
+            vel, omg, push, dv = _resolve_static(vel, omg, dist, n, e, mu)
             pos = _add(pos, push)
             imp_x = imp_x + dv[0] / inv_mb
             imp_y = imp_y + dv[1] / inv_mb
@@ -930,16 +943,18 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             w_n = inv_mb + sum(v * v for v in yn)
             Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
 
-            vt = _sub(v_rel, _scale(n, vn))
+            slip = _sub(v_rel, _scale(_cross(omg, n), rb_))
+            vt = _sub(slip, _scale(n, _dot(slip, n)))
             vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
             inv_vt = 1.0 / vt_n
             t_hat = _scale(vt, inv_vt)
             yt = fwd_sub(JT_dot(t_hat))
-            w_t = inv_mb + sum(v * v for v in yt)
+            w_t = (1.0 + kappa) * inv_mb + sum(v * v for v in yt)
             Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
 
             P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
             vel = _add(vel, _scale(P, inv_mb))
+            omg = _add(omg, _scale(_cross(n, t_hat), kappa * inv_mb / rb_ * Pt))
             du = back_sub([yn[i] * (-Pn) + yt[i] * Pt for i in range(nd)])
             for i in range(nd):
                 u[i] = u[i] + du[i]
@@ -958,10 +973,14 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         bvn_ref[0] = vel[0]
         bvn_ref[1] = vel[1]
         bvn_ref[2] = vel[2]
+        bwn_ref[0] = omg[0]
+        bwn_ref[1] = omg[1]
+        bwn_ref[2] = omg[2]
 
     ndr = 4 * nd + 6
 
-    def run(q, qd, targets, efforts, ball_pos, ball_vel, dr_chan=None) -> FusedStepOutputs:
+    def run(q, qd, targets, efforts, ball_pos, ball_vel, ball_omega,
+            dr_chan=None) -> FusedStepOutputs:
         B = q.shape[0]
         assert B % LANE == 0
         R = B // LANE
@@ -976,9 +995,10 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
         nimp = ng * 3 + 3
-        in_specs = [chan(nd)] * 4 + [chan(3), chan(3)]
+        in_specs = [chan(nd)] * 4 + [chan(3), chan(3), chan(3)]
         inputs = [to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd),
-                  to_chan(efforts, nd), to_chan(ball_pos, 3), to_chan(ball_vel, 3)]
+                  to_chan(efforts, nd), to_chan(ball_pos, 3),
+                  to_chan(ball_vel, 3), to_chan(ball_omega, 3)]
         if with_dr:
             in_specs.append(chan(ndr))
             inputs.append(to_chan(dr_chan, ndr))
@@ -986,11 +1006,13 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=(chan(nd), chan(nd), chan(nd), chan(3), chan(3), chan(nimp)),
+            out_specs=(chan(nd), chan(nd), chan(nd), chan(3), chan(3),
+                       chan(3), chan(nimp)),
             out_shape=(
                 jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((nd, R, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((3, R, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((3, R, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((3, R, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((nimp, R, LANE), jnp.float32),
@@ -1007,7 +1029,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             tau=from_chan(outs[2], nd),
             ball_pos=from_chan(outs[3], 3),
             ball_vel=from_chan(outs[4], 3),
-            impulses=from_chan(outs[5], ng * 3 + 3).reshape(B, ng + 1, 3),
+            ball_omega=from_chan(outs[5], 3),
+            impulses=from_chan(outs[6], ng * 3 + 3).reshape(B, ng + 1, 3),
         )
 
     return jax.jit(run)
@@ -1077,8 +1100,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             bq=tuple(float(v) for v in a["base_quat"]),
         ))
 
-    def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref,
-               qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, imp_ref):
+    def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bp_ref, bv_ref, bw_ref,
+               qn_ref, qdn_ref, tau_ref, bpn_ref, bvn_ref, bwn_ref, imp_ref):
         zero = jnp.zeros_like(q_ref[0])
         art_rt = []
         for ai in range(K):
@@ -1283,26 +1306,33 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             inv_mb = 1.0 / float(bc["mass"])
             e_ball = float(bc["restitution"])
             mu_ball = float(bc["friction"])
+            kap = float(bc.get("kappa", 0.0))
             pos = (bp_ref[3 * bi + 0], bp_ref[3 * bi + 1], bp_ref[3 * bi + 2])
             vel = (bv_ref[3 * bi + 0] + gx * dt_s,
                    bv_ref[3 * bi + 1] + gy * dt_s,
                    bv_ref[3 * bi + 2] + gz * dt_s)
+            omg = (bw_ref[3 * bi + 0], bw_ref[3 * bi + 1], bw_ref[3 * bi + 2])
 
-            def resolve_static(vel, dist, n, e, mu):
+            def resolve_static(vel, omg, dist, n, e, mu, rb_=rb_, kap=kap):
+                # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
                 vn = _dot(vel, n)
                 active = (dist < 0.0) & (vn < 0.0)
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
                 jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
-                vt = _sub(vel, _scale(n, vn))
+                slip = _sub(vel, _scale(_cross(omg, n), rb_))
+                vt = _sub(slip, _scale(n, _dot(slip, n)))
                 vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
-                jt = jnp.where(active, jnp.minimum(mu * jn, vt_n), 0.0)
-                dv = _sub(_scale(n, jn), _scale(vt, jt / vt_n))
+                jt = jnp.where(active, jnp.minimum(mu * jn, vt_n / (1.0 + kap)), 0.0)
+                t_hat = _scale(vt, 1.0 / vt_n)
+                dv = _sub(_scale(n, jn), _scale(t_hat, jt))
+                omg2 = _add(omg, _scale(_cross(n, t_hat), kap / rb_ * jt))
                 push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
-                return _add(vel, dv), push, dv
+                return _add(vel, dv), omg2, push, dv
 
             e = 0.5 * (e_ball + float(bc.get("plane_e", 0.0)))
             mu = 0.5 * (mu_ball + float(bc.get("plane_mu", 1.0)))
-            vel, push, dv = resolve_static(vel, pos[2] - rb_, (zero, zero, zero + 1.0), e, mu)
+            vel, omg, push, dv = resolve_static(vel, omg, pos[2] - rb_,
+                                                (zero, zero, zero + 1.0), e, mu)
             pos = _add(pos, push)
             s_imp = list(_scale(dv, 1.0 / inv_mb))
 
@@ -1323,7 +1353,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 n = _qrot(gq, n_local)
                 e = 0.5 * (e_ball + float(g["e"]))
                 mu = 0.5 * (mu_ball + float(g["mu"]))
-                vel, push, dv = resolve_static(vel, dist, n, e, mu)
+                vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu)
                 pos = _add(pos, push)
                 for i3 in range(3):
                     s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
@@ -1372,16 +1402,18 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 yn = rt["fwd_sub"](JTn)
                 w_n = inv_mb + sum(v * v for v in yn)
                 Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
-                vt = _sub(v_rel, _scale(n, vn))
+                slip = _sub(v_rel, _scale(_cross(omg, n), rb_))
+                vt = _sub(slip, _scale(n, _dot(slip, n)))
                 vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
                 t_hat = _scale(vt, 1.0 / vt_n)
                 JTt = [(_dot(Jcols[i], t_hat) if Jcols[i] is not None else zero)
                        for i in range(nd_a)]
                 yt = rt["fwd_sub"](JTt)
-                w_t = inv_mb + sum(v * v for v in yt)
+                w_t = (1.0 + kap) * inv_mb + sum(v * v for v in yt)
                 Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
                 P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
                 vel = _add(vel, _scale(P, inv_mb))
+                omg = _add(omg, _scale(_cross(n, t_hat), kap * inv_mb / rb_ * Pt))
                 du = rt["back_sub"]([yn[i] * (-Pn) + yt[i] * Pt for i in range(nd_a)])
                 for i in range(nd_a):
                     rt["u"][i] = rt["u"][i] + du[i]
@@ -1401,6 +1433,9 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             bvn_ref[3 * bi + 0] = vel[0]
             bvn_ref[3 * bi + 1] = vel[1]
             bvn_ref[3 * bi + 2] = vel[2]
+            bwn_ref[3 * bi + 0] = omg[0]
+            bwn_ref[3 * bi + 1] = omg[1]
+            bwn_ref[3 * bi + 2] = omg[2]
 
         for gi in range(ng):
             for i3 in range(3):
@@ -1409,9 +1444,9 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             for d in range(rt["nd"]):
                 qdn_ref[rt["off"] + d] = rt["u"][d]
 
-    def run(q, qd, targets, efforts, ball_pos, ball_vel):
-        """ball_pos/ball_vel: (B, NB, 3). Returns FusedStepOutputs with
-        ball arrays shaped (B, NB, 3) and impulses (B, ng+2·NB, 3):
+    def run(q, qd, targets, efforts, ball_pos, ball_vel, ball_omega):
+        """ball_pos/ball_vel/ball_omega: (B, NB, 3). Returns FusedStepOutputs
+        with ball arrays shaped (B, NB, 3) and impulses (B, ng+2·NB, 3):
         [geom rows | per-ball static/plane rows | per-ball art-reaction rows]."""
         B = q.shape[0]
         assert B % LANE == 0
@@ -1430,14 +1465,16 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[chan(nd_tot)] * 4 + [chan(3 * NB), chan(3 * NB)],
+            in_specs=[chan(nd_tot)] * 4 + [chan(3 * NB)] * 3,
             out_specs=(chan(nd_tot), chan(nd_tot), chan(nd_tot),
-                       chan(3 * NB), chan(3 * NB), chan(nimp)),
+                       chan(3 * NB), chan(3 * NB), chan(3 * NB), chan(nimp)),
             out_shape=tuple(jax.ShapeDtypeStruct((n, R, LANE), jnp.float32)
-                            for n in (nd_tot, nd_tot, nd_tot, 3 * NB, 3 * NB, nimp)),
+                            for n in (nd_tot, nd_tot, nd_tot,
+                                      3 * NB, 3 * NB, 3 * NB, nimp)),
             interpret=jax.default_backend() == "cpu",
         )(to_chan(q, nd_tot), to_chan(qd, nd_tot), to_chan(targets, nd_tot),
-          to_chan(efforts, nd_tot), to_chan(ball_pos, 3 * NB), to_chan(ball_vel, 3 * NB))
+          to_chan(efforts, nd_tot), to_chan(ball_pos, 3 * NB),
+          to_chan(ball_vel, 3 * NB), to_chan(ball_omega, 3 * NB))
 
         def from_chan(x, n):
             return jnp.transpose(x.reshape(n, B), (1, 0))
@@ -1448,7 +1485,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             tau=from_chan(outs[2], nd_tot),
             ball_pos=from_chan(outs[3], 3 * NB).reshape(B, NB, 3),
             ball_vel=from_chan(outs[4], 3 * NB).reshape(B, NB, 3),
-            impulses=from_chan(outs[5], nimp).reshape(B, ng + 2 * NB, 3),
+            ball_omega=from_chan(outs[5], 3 * NB).reshape(B, NB, 3),
+            impulses=from_chan(outs[6], nimp).reshape(B, ng + 2 * NB, 3),
         )
 
     return jax.jit(run)
@@ -1468,6 +1506,7 @@ class FloatingStepOutputs(NamedTuple):
     base_angvel: jnp.ndarray  # (B, 3) post-contact
     ball_pos: jnp.ndarray    # (B, 3)
     ball_vel: jnp.ndarray    # (B, 3)
+    ball_omega: jnp.ndarray  # (B, 3) spin after friction coupling
     impulses: jnp.ndarray    # (B, ng+1, 3) geom rows + ball static/plane row
 
 
@@ -1531,6 +1570,9 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     e_ball = float(ball_cfg["restitution"])
     mu_ball = float(ball_cfg["friction"])
     max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
+    # spin-friction coupling kappa = m r^2 / I (ops.contacts
+    # resolve_sphere_impulse_spin); 0 decouples spin
+    kappa = float(ball_cfg.get("kappa", 0.0))
     ng = len(art_geoms)
     # ground-contact material (matches _art_vs_ground_group)
     e_gnd = 0.5 * (0.0 + float(plane_cfg["e"]))
@@ -1538,9 +1580,9 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     max_depen = float(plane_cfg.get("max_depen", 10.0))
 
     def kernel(q_ref, qd_ref, tgt_ref, eff_ref, bps_ref, bqt_ref, blv_ref,
-               bav_ref, blp_ref, blv2_ref,
+               bav_ref, blp_ref, blv2_ref, blw_ref,
                qn_ref, qdn_ref, tau_ref, bpn_ref, bqn_ref, bvn_ref, bwn_ref,
-               ballp_ref, ballv_ref, imp_ref):
+               ballp_ref, ballv_ref, ballw_ref, imp_ref):
         q = [q_ref[d] for d in range(nd)]
         qd = [qd_ref[d] for d in range(nd)]
         zero = jnp.zeros_like(q[0])
@@ -1820,22 +1862,28 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         pos = (blp_ref[0], blp_ref[1], blp_ref[2])
         vel = (blv2_ref[0] + gx * dt_s, blv2_ref[1] + gy * dt_s,
                blv2_ref[2] + gz * dt_s)
+        omg = (blw_ref[0], blw_ref[1], blw_ref[2])
 
-        def resolve_static(vel, dist, n, e, mu):
+        def resolve_static(vel, omg, dist, n, e, mu):
+            # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
             vn = _dot(vel, n)
             active = (dist < 0.0) & (vn < 0.0)
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
             jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
-            vt = _sub(vel, _scale(n, vn))
+            slip = _sub(vel, _scale(_cross(omg, n), rb_))
+            vt = _sub(slip, _scale(n, _dot(slip, n)))
             vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
-            jt = jnp.where(active, jnp.minimum(mu * jn, vt_n), 0.0)
-            dv = _sub(_scale(n, jn), _scale(vt, jt / vt_n))
+            jt = jnp.where(active, jnp.minimum(mu * jn, vt_n / (1.0 + kappa)), 0.0)
+            t_hat = _scale(vt, 1.0 / vt_n)
+            dv = _sub(_scale(n, jn), _scale(t_hat, jt))
+            omg2 = _add(omg, _scale(_cross(n, t_hat), kappa / rb_ * jt))
             push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
-            return _add(vel, dv), push, dv
+            return _add(vel, dv), omg2, push, dv
 
         e = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0)))
         mu = 0.5 * (mu_ball + float(ball_cfg.get("plane_mu", 1.0)))
-        vel, push, dv = resolve_static(vel, pos[2] - rb_, (zero, zero, zero + 1.0), e, mu)
+        vel, omg, push, dv = resolve_static(vel, omg, pos[2] - rb_,
+                                            (zero, zero, zero + 1.0), e, mu)
         pos = _add(pos, push)
         s_imp = list(_scale(dv, 1.0 / inv_mb))
 
@@ -1856,7 +1904,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             n = _qrot(gq, n_local)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
-            vel, push, dv = resolve_static(vel, dist, n, e, mu)
+            vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu)
             pos = _add(pos, push)
             for i3 in range(3):
                 s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
@@ -1890,14 +1938,16 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             yn = fwd_sub(jt_dot(cols, n))
             w_n = inv_mb + sum(v_ * v_ for v_ in yn if not _isz(v_))
             Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
-            vt = _sub(v_rel, _scale(n, vn))
+            slip = _sub(v_rel, _scale(_cross(omg, n), rb_))
+            vt = _sub(slip, _scale(n, _dot(slip, n)))
             vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
             t_hat = _scale(vt, 1.0 / vt_n)
             yt = fwd_sub(jt_dot(cols, t_hat))
-            w_t = inv_mb + sum(v_ * v_ for v_ in yt if not _isz(v_))
+            w_t = (1.0 + kappa) * inv_mb + sum(v_ * v_ for v_ in yt if not _isz(v_))
             Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
             P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
             vel = _add(vel, _scale(P, inv_mb))
+            omg = _add(omg, _scale(_cross(n, t_hat), kappa * inv_mb / rb_ * Pt))
             du = back_sub([_sad2(_sml(yn[i], -Pn), _sml(yt[i], Pt))
                            for i in range(nv)])
             for c in range(nv):
@@ -1952,9 +2002,12 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         ballv_ref[0] = vel[0]
         ballv_ref[1] = vel[1]
         ballv_ref[2] = vel[2]
+        ballw_ref[0] = omg[0]
+        ballw_ref[1] = omg[1]
+        ballw_ref[2] = omg[2]
 
     def run(q, qd, targets, efforts, base_pos, base_quat, base_linvel,
-            base_angvel, ball_pos, ball_vel) -> FloatingStepOutputs:
+            base_angvel, ball_pos, ball_vel, ball_omega) -> FloatingStepOutputs:
         B = q.shape[0]
         assert B % LANE == 0
         R = B // LANE
@@ -1969,8 +2022,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
         nimp = ng * 3 + 3
-        in_ns = [nd, nd, nd, nd, 3, 4, 3, 3, 3, 3]
-        out_ns = [nd, nd, nd, 3, 4, 3, 3, 3, 3, nimp]
+        in_ns = [nd, nd, nd, nd, 3, 4, 3, 3, 3, 3, 3]
+        out_ns = [nd, nd, nd, 3, 4, 3, 3, 3, 3, 3, nimp]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1982,7 +2035,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         )(to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd),
           to_chan(efforts, nd), to_chan(base_pos, 3), to_chan(base_quat, 4),
           to_chan(base_linvel, 3), to_chan(base_angvel, 3),
-          to_chan(ball_pos, 3), to_chan(ball_vel, 3))
+          to_chan(ball_pos, 3), to_chan(ball_vel, 3), to_chan(ball_omega, 3))
 
         def from_chan(x, n):
             return jnp.transpose(x.reshape(n, B), (1, 0))
@@ -1997,7 +2050,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             base_angvel=from_chan(outs[6], 3),
             ball_pos=from_chan(outs[7], 3),
             ball_vel=from_chan(outs[8], 3),
-            impulses=from_chan(outs[9], nimp).reshape(B, ng + 1, 3),
+            ball_omega=from_chan(outs[9], 3),
+            impulses=from_chan(outs[10], nimp).reshape(B, ng + 1, 3),
         )
 
     return jax.jit(run)

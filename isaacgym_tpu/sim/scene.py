@@ -94,6 +94,9 @@ class FreeBodySlot:
     restitution: float
     friction: float
     max_linear_velocity: float = 1000.0
+    #: isotropic moment of inertia about the COM (from the URDF inertial tag;
+    #: drives the spin-friction coupling kappa = m r^2 / I)
+    inertia: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -187,6 +190,7 @@ def compile_scene(spec: SceneSpec) -> CompiledScene:
                 mass=float(tree.mass[0]), radius=float(tree.geom_size[0][0]),
                 restitution=actor.restitution, friction=actor.friction,
                 max_linear_velocity=float(actor.max_linear_velocity),
+                inertia=float(tree.inertia[0][0, 0]),
             ))
         else:
             for g in range(len(tree.geom_kind)):

@@ -58,6 +58,22 @@ class _GeomGroup(NamedTuple):
     radius_bound: np.ndarray  # (k,) bounding-sphere radius (ground contact)
 
 
+def _integrate_quat(quat, omega, dt):
+    """Batched free-body orientation update q += dt/2 [w,0] o q, normalized."""
+    wq = jnp.concatenate([omega, jnp.zeros_like(omega[..., :1])], axis=-1)
+    q2 = quat + 0.5 * dt * rot.quat_mul(wq, quat)
+    return q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
+
+
+def _ball_kappa(ball) -> float:
+    """Spin-coupling ratio kappa = m r^2 / I for a free sphere (3/2 for the
+    hollow ping-pong ball's URDF inertia, 5/2 for a solid sphere); 0 when no
+    inertia is recorded (spin decoupled, pre-spin behavior)."""
+    if getattr(ball, "inertia", 0.0) > 0.0:
+        return float(ball.mass * ball.radius ** 2 / ball.inertia)
+    return 0.0
+
+
 def _compose(p1, q1, p2, q2):
     """Pure-numpy compose of two transforms (compile time; no jax attach)."""
     from isaacgym_tpu.models.kinematics import _qmul, _qrot
@@ -221,7 +237,8 @@ class Simulator:
                         restitution=ball.restitution, friction=ball.friction,
                         plane_e=plane.restitution,
                         plane_mu=plane.dynamic_friction,
-                        max_lin=ball.max_linear_velocity)
+                        max_lin=ball.max_linear_velocity,
+                        kappa=_ball_kappa(ball))
         # floating kernel: only static actors are constant-folded (the base
         # pose is a runtime input)
         self._baked_actors = np.asarray(
@@ -249,14 +266,18 @@ class Simulator:
             state.dof_pos[:, sl], state.dof_vel[:, sl],
             targets[:, sl], efforts[:, sl],
             hr[:, 0:3], hr[:, 3:7], hr[:, 7:10], hr[:, 10:13],
-            root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10])
+            root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10],
+            root[:, ball.actor_index, 10:13])
         ai = slot.actor_index
         root = root.at[:, ai, 0:3].set(out.base_pos)
         root = root.at[:, ai, 3:7].set(out.base_quat)
         root = root.at[:, ai, 7:10].set(out.base_linvel)
         root = root.at[:, ai, 10:13].set(out.base_angvel)
         root = root.at[:, ball.actor_index, 0:3].set(out.ball_pos)
+        root = root.at[:, ball.actor_index, 3:7].set(_integrate_quat(
+            root[:, ball.actor_index, 3:7], out.ball_omega, dt_s))
         root = root.at[:, ball.actor_index, 7:10].set(out.ball_vel)
+        root = root.at[:, ball.actor_index, 10:13].set(out.ball_omega)
         ncf = state.net_contact_force
         ng = len(self._ffl_art_bodies)
         inv_dt = 1.0 / self.dt
@@ -330,7 +351,8 @@ class Simulator:
             ball_cfg = dict(mass=ball.mass, radius=ball.radius,
                             restitution=ball.restitution, friction=ball.friction,
                             plane_e=plane.restitution, plane_mu=plane.dynamic_friction,
-                            max_lin=ball.max_linear_velocity)
+                            max_lin=ball.max_linear_velocity,
+                            kappa=_ball_kappa(ball))
             single_art = [dict(g, **{}) for g in art_list]
             for g in single_art:
                 g.pop("art", None)
@@ -361,7 +383,8 @@ class Simulator:
         balls = [dict(mass=fb.mass, radius=fb.radius, restitution=fb.restitution,
                       friction=fb.friction, plane_e=plane.restitution,
                       plane_mu=plane.dynamic_friction,
-                      max_lin=fb.max_linear_velocity)
+                      max_lin=fb.max_linear_velocity,
+                      kappa=_ball_kappa(fb))
                  for fb in scene.free_bodies]
         self._fused_multi = PDK.build_fused_substep_multi(
             arts, balls, static_list, art_list,
@@ -448,9 +471,13 @@ class Simulator:
         ball_actors = jnp.asarray(self._fused_ball_actors)
         out = self._fused_multi(
             state.dof_pos, state.dof_vel, targets, efforts,
-            root[:, ball_actors, 0:3], root[:, ball_actors, 7:10])
+            root[:, ball_actors, 0:3], root[:, ball_actors, 7:10],
+            root[:, ball_actors, 10:13])
         root = root.at[:, ball_actors, 0:3].set(out.ball_pos)
+        root = root.at[:, ball_actors, 3:7].set(_integrate_quat(
+            root[:, ball_actors, 3:7], out.ball_omega, dt_s))
         root = root.at[:, ball_actors, 7:10].set(out.ball_vel)
+        root = root.at[:, ball_actors, 10:13].set(out.ball_omega)
         ncf = state.net_contact_force
         ng = len(self._fused_art_bodies)
         inv_dt = 1.0 / self.dt
@@ -481,15 +508,19 @@ class Simulator:
             out = self._fused(
                 state.dof_pos[:, sl], state.dof_vel[:, sl],
                 targets[:, sl], efforts[:, sl],
-                root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10])
+                root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10],
+                root[:, ball.actor_index, 10:13])
         else:
             out = self._fused_dr(
                 state.dof_pos[:, sl], state.dof_vel[:, sl],
                 targets[:, sl], efforts[:, sl],
                 root[:, ball.actor_index, 0:3], root[:, ball.actor_index, 7:10],
-                dr_chan)
+                root[:, ball.actor_index, 10:13], dr_chan)
         root = root.at[:, ball.actor_index, 0:3].set(out.ball_pos)
+        root = root.at[:, ball.actor_index, 3:7].set(_integrate_quat(
+            root[:, ball.actor_index, 3:7], out.ball_omega, dt_s))
         root = root.at[:, ball.actor_index, 7:10].set(out.ball_vel)
+        root = root.at[:, ball.actor_index, 10:13].set(out.ball_omega)
         ncf = state.net_contact_force
         ng = len(self._fused_art_bodies)
         inv_dt = 1.0 / self.dt
@@ -666,7 +697,8 @@ class Simulator:
         # -- free bodies (balls): gravity + contacts + integration -------------
         for ball in scene.free_bodies:
             ra = root[ball.actor_index]
-            pos, vel = ra[0:3], ra[7:10]
+            pos, vel, omega = ra[0:3], ra[7:10], ra[10:13]
+            kappa = _ball_kappa(ball)
             vel = vel + gravity * dt_s
 
             if scene.spec.plane is not None:
@@ -681,20 +713,24 @@ class Simulator:
                     frame = C.ContactFrame(dist, n, pos - n * ball.radius)
                 else:
                     frame = C.sphere_plane(pos, ball.radius)
-                dv, _, active = C.resolve_sphere_impulse(
-                    vel, frame, jnp.zeros(3), e, mu, self.bounce_threshold)
+                dv, dw, _, active = C.resolve_sphere_impulse_spin(
+                    vel, omega, ball.radius, kappa, frame, jnp.zeros(3),
+                    e, mu, self.bounce_threshold)
                 vel = vel + dv
+                omega = omega + dw
                 pos = C.depenetrate(pos, frame, active)
                 ncf = ncf.at[ball.body_start].add(dv * (ball.mass / self.dt))
 
             for grp in self.static_groups:
-                pos, vel, dv_tot = self._ball_vs_static_group(root, grp, ball, pos, vel)
+                pos, vel, omega, dv_tot = self._ball_vs_static_group(
+                    root, grp, ball, pos, vel, omega)
                 ncf = ncf.at[ball.body_start].add(dv_tot * (ball.mass / self.dt))
 
             for art_idx, groups in self.art_groups.items():
                 rt = art_runtime[art_idx]
                 for grp in groups:
-                    pos, vel, du, P = self._ball_vs_art_group(rt, grp, ball, pos, vel, dr)
+                    pos, vel, omega, du, P = self._ball_vs_art_group(
+                        rt, grp, ball, pos, vel, omega, dr)
                     rt["u"] = rt["u"] + du
                     ncf = ncf.at[ball.body_start].add(P.sum(axis=0) / self.dt)
                     ncf = ncf.at[jnp.asarray(grp.body)].add(-P / self.dt)
@@ -705,8 +741,15 @@ class Simulator:
             if ml > 0.0:
                 vel = jnp.clip(vel, -ml, ml)
             pos = pos + dt_s * vel
+            # integrate the ball's orientation from its (spin-updated)
+            # angular velocity — PhysX integrates free-body rotation
+            bq = ra[3:7]
+            wq = jnp.concatenate([omega, jnp.zeros(1)])
+            bq = rot.quat_unit(bq + 0.5 * dt_s * rot.quat_mul(wq, bq))
             root = root.at[ball.actor_index, 0:3].set(pos)
+            root = root.at[ball.actor_index, 3:7].set(bq)
             root = root.at[ball.actor_index, 7:10].set(vel)
+            root = root.at[ball.actor_index, 10:13].set(omega)
 
         # -- floating articulations vs ground (feet etc.) ----------------------
         if scene.spec.plane is not None:
@@ -750,23 +793,27 @@ class Simulator:
             return jax.vmap(fn)(gpos, jnp.asarray(size))
         raise NotImplementedError(kind)
 
-    def _ball_vs_static_group(self, root, grp: _GeomGroup, ball, pos, vel):
+    def _ball_vs_static_group(self, root, grp: _GeomGroup, ball, pos, vel, omega):
         roots = root[jnp.asarray(grp.actor_index)]                # (k,13)
         gpos = roots[:, 0:3] + rot.quat_rotate(roots[:, 3:7], jnp.asarray(grp.offset_pos))
         gquat = rot.quat_mul(roots[:, 3:7], jnp.asarray(grp.offset_quat))
         frame = self._frames_for_group(grp.kind, pos, ball.radius, gpos, gquat, grp.size)
         e, mu = C.combine_material(ball.restitution, jnp.asarray(grp.restitution),
                                    ball.friction, jnp.asarray(grp.friction))
-        dv, _, active = C.resolve_sphere_impulse(
-            vel[None], frame, jnp.zeros_like(gpos), e, mu, self.bounce_threshold)
+        dv, dw, _, active = C.resolve_sphere_impulse_spin(
+            vel[None], omega[None], ball.radius, _ball_kappa(ball), frame,
+            jnp.zeros_like(gpos), e, mu, self.bounce_threshold)
         dv_tot = dv.sum(axis=0)
         vel = vel + dv_tot
+        omega = omega + dw.sum(axis=0)
         push = jnp.where(active[:, None], frame.normal * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
-        return pos + push.sum(axis=0), vel, dv_tot
+        return pos + push.sum(axis=0), vel, omega, dv_tot
 
-    def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, dr=None):
+    def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, omega,
+                           dr=None):
         """Ball vs one kind-group of articulated geoms, with joint-space
-        two-body impulses. Returns (pos, vel, Δu)."""
+        two-body impulses and ball spin coupling.
+        Returns (pos, vel, omega, Δu, P)."""
         model = rt["slot"].model
         fp, fq = rt["frames"]
         nd = model.tree.n_dof
@@ -796,19 +843,25 @@ class Simulator:
         e, mu = C.combine_material(ball.restitution, grp_e, ball.friction, grp_mu)
         e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
         inv_m = 1.0 / ball.mass
+        kappa = _ball_kappa(ball)
         w_n = inv_m + jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)
         Pn = jnp.where(active, -(1.0 + e_eff) * vn / jnp.maximum(w_n, 1e-9), 0.0)
-        vt = v_rel - vn[:, None] * n
+        # tangential slip at the contact point includes the ball's spin; the
+        # ball-side tangential effective inverse mass is (1 + kappa)/m
+        slip = v_rel - ball.radius * jnp.cross(jnp.broadcast_to(omega, n.shape), n)
+        vt = slip - jnp.sum(slip * n, axis=-1)[:, None] * n
         vt_norm = jnp.linalg.norm(vt, axis=-1)
         t_hat = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
-        w_t = inv_m + jnp.einsum("ka,kav,kbv,kb->k", t_hat, J, MinvJT, t_hat)
+        w_t = (1.0 + kappa) * inv_m + jnp.einsum("ka,kav,kbv,kb->k", t_hat, J, MinvJT, t_hat)
         Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
         P = Pn[:, None] * n - Pt[:, None] * t_hat                 # (k,3)
 
         vel = vel + P.sum(axis=0) * inv_m
+        omega = omega + (kappa * inv_m / ball.radius) * (
+            jnp.cross(n, t_hat) * Pt[:, None]).sum(axis=0)
         du = -jnp.einsum("kav,ka->v", MinvJT, P)
         push = jnp.where(active[:, None], n * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
-        return pos + push.sum(axis=0), vel, du, P
+        return pos + push.sum(axis=0), vel, omega, du, P
 
     def _art_vs_ground_group(self, rt, grp: _GeomGroup, dt_s):
         """Articulation geoms (bounding spheres) vs ground plane; Baumgarte-

@@ -470,3 +470,43 @@ def test_fused_multi_matches_xla_on_c8_scene():
     np.testing.assert_allclose(np.asarray(sf.root[:, 3, 0:3]),
                                np.asarray(sx.root[:, 3, 0:3]), atol=5e-2)
     assert np.isfinite(np.asarray(sf.net_contact_force)).all()
+
+
+def test_fused_substep_spin_parity_and_topspin_kick():
+    """Ball spin (friction at the contact point + torque feedback) must match
+    between the fused kernel and the XLA path, and reproduce the closed-form
+    sticking-bounce kick (see test_simulator.test_ball_spin_friction_coupling)."""
+    import sys
+    sys.path.insert(0, ".")
+    from tests.test_simulator import _pingpong_scene
+    from isaacgym_tpu.sim.scene import compile_scene
+    from isaacgym_tpu.sim.simulator import Simulator
+
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused is not None
+
+    B = 128
+    state0 = sim.initial_state(B)
+    r = state0.root.at[:, 2, 0:3].set(jnp.asarray([-1.0, 0.0, 0.3]))
+    r = r.at[:, 2, 7:10].set(jnp.asarray([0.0, 0.0, -3.0]))
+    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 150.0, 0.0]))  # topspin
+    state0 = state0._replace(root=r)
+    tgt = jnp.zeros((B, 7))
+    eff = jnp.zeros((B, 7))
+
+    fused_step = jax.jit(sim._step_batched_pallas)
+    xla_step = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(40):
+        sf = fused_step(sf, tgt, eff)
+        sx = xla_step(sx, tgt, eff)
+    bf = np.asarray(sf.root[0, 2])
+    bx = np.asarray(sx.root[0, 2])
+    # both paths: the sticking bounce kicked the ball forward and shed spin
+    np.testing.assert_allclose(bf[7], 1.2, atol=2e-2)
+    np.testing.assert_allclose(bf[11], 60.0, atol=1.5)
+    np.testing.assert_allclose(bf[7:13], bx[7:13], atol=1e-3)
+    np.testing.assert_allclose(bf[0:3], bx[0:3], atol=1e-3)
+    np.testing.assert_allclose(bf[3:7], bx[3:7], atol=1e-3)

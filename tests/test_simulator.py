@@ -259,3 +259,72 @@ def test_net_contact_force_and_tensor_api():
                                np.broadcast_to(np.asarray(w0), (B, 3)))
     state4 = T.set_actor_root_state_tensor(state, jnp.zeros((3, 13)))
     np.testing.assert_allclose(np.asarray(state4.root), 0.0)
+
+
+def test_ball_spin_friction_coupling():
+    """PhysX-parity spin: friction acts at the contact point, torquing the
+    ball. Closed form for a sticking bounce (mu j_n > |slip|/(1+kappa)):
+    dv_t = |slip|/(1+kappa), domega = kappa*dv_t/r — for the hollow ball
+    (kappa = 3/2) a 150 rad/s topspin drop kicks forward by exactly
+    0.02*150/2.5 = 1.2 m/s and leaves 60 rad/s of spin."""
+    from isaacgym_tpu.sim.simulator import _ball_kappa
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    ball = scene.free_bodies[0]
+    np.testing.assert_allclose(_ball_kappa(ball), 1.5, rtol=1e-5)
+    B = 2
+    state = sim.initial_state(B)
+    r = state.root
+    r = r.at[:, 2, 0:3].set(jnp.asarray([-1.0, 0.0, 0.3]))    # over the ground
+    r = r.at[:, 2, 7:10].set(jnp.asarray([0.0, 0.0, -3.0]))   # pure drop
+    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 150.0, 0.0]))  # topspin
+    state = state._replace(root=r)
+    targets = jnp.zeros((B, 7)); efforts = jnp.zeros((B, 7))
+    step = jax.jit(sim._step_vmapped)
+    for _ in range(60):
+        state = step(state, targets, efforts)
+        b = np.asarray(state.root[0, 2])
+        if b[9] > 0:
+            break
+    assert b[9] > 0, "ball never bounced"
+    np.testing.assert_allclose(b[7], 1.2, atol=1e-2)    # forward kick
+    np.testing.assert_allclose(b[11], 60.0, atol=1.0)   # spin reduced
+    # the ball's orientation integrates its spin (quat rotates about y)
+    assert abs(b[4]) > 1e-3 and abs(float(state.root[0, 2, 3])) < 1e-6
+
+    # control: spinless vertical drop picks up no lateral velocity or spin
+    state2 = sim.initial_state(B)
+    r2 = state2.root.at[:, 2, 0:3].set(jnp.asarray([-1.0, 0.0, 0.3]))
+    r2 = r2.at[:, 2, 7:10].set(jnp.asarray([0.0, 0.0, -3.0]))
+    state2 = state2._replace(root=r2)
+    for _ in range(60):
+        state2 = step(state2, targets, efforts)
+        b2 = np.asarray(state2.root[0, 2])
+        if b2[9] > 0:
+            break
+    np.testing.assert_allclose(b2[7], 0.0, atol=1e-5)
+    np.testing.assert_allclose(b2[10:13], 0.0, atol=1e-5)
+
+
+def test_ball_spin_generated_by_oblique_bounce():
+    """A spinless oblique bounce must GAIN spin toward rolling: friction
+    opposes the +x slip at the bottom contact, and its torque
+    domega = (kappa jt / r)(n x t_hat) with n = +z, t_hat = +x gives
+    omega_y > 0 (forward roll for +x motion)."""
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    B = 2
+    state = sim.initial_state(B)
+    r = state.root.at[:, 2, 0:3].set(jnp.asarray([-1.0, 0.0, 0.15]))
+    r = r.at[:, 2, 7:10].set(jnp.asarray([4.0, 0.0, -4.0]))
+    state = state._replace(root=r)
+    targets = jnp.zeros((B, 7)); efforts = jnp.zeros((B, 7))
+    step = jax.jit(sim._step_vmapped)
+    for _ in range(40):
+        state = step(state, targets, efforts)
+        b = np.asarray(state.root[0, 2])
+        if b[9] > 0:
+            break
+    assert b[9] > 0
+    assert b[11] > 1.0, b[11]           # gained forward-roll spin
+    assert 0 < b[7] < 4.0               # friction slowed the slide
