@@ -603,6 +603,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     e_ball = float(ball_cfg["restitution"])
     mu_ball = float(ball_cfg["friction"])
     max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
+    max_ang_ball = float(ball_cfg.get("max_ang", 64.0))
     # spin-friction coupling kappa = m r^2 / I (ops.contacts
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
@@ -973,6 +974,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         bvn_ref[0] = vel[0]
         bvn_ref[1] = vel[1]
         bvn_ref[2] = vel[2]
+        omg = tuple(jnp.clip(w, -max_ang_ball, max_ang_ball) for w in omg)
         bwn_ref[0] = omg[0]
         bwn_ref[1] = omg[1]
         bwn_ref[2] = omg[2]
@@ -1433,6 +1435,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             bvn_ref[3 * bi + 0] = vel[0]
             bvn_ref[3 * bi + 1] = vel[1]
             bvn_ref[3 * bi + 2] = vel[2]
+            ma_b = float(bc.get("max_ang", 64.0))
+            omg = tuple(jnp.clip(w, -ma_b, ma_b) for w in omg)
             bwn_ref[3 * bi + 0] = omg[0]
             bwn_ref[3 * bi + 1] = omg[1]
             bwn_ref[3 * bi + 2] = omg[2]
@@ -1570,6 +1574,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     e_ball = float(ball_cfg["restitution"])
     mu_ball = float(ball_cfg["friction"])
     max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
+    max_ang_ball = float(ball_cfg.get("max_ang", 64.0))
     # spin-friction coupling kappa = m r^2 / I (ops.contacts
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
@@ -2002,6 +2007,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         ballv_ref[0] = vel[0]
         ballv_ref[1] = vel[1]
         ballv_ref[2] = vel[2]
+        omg = tuple(jnp.clip(w, -max_ang_ball, max_ang_ball) for w in omg)
         ballw_ref[0] = omg[0]
         ballw_ref[1] = omg[1]
         ballw_ref[2] = omg[2]

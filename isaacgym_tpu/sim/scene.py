@@ -94,6 +94,9 @@ class FreeBodySlot:
     restitution: float
     friction: float
     max_linear_velocity: float = 1000.0
+    #: angular-velocity clamp (AssetOptions.max_angular_velocity; the
+    #: reference loads the ball with default options -> 64 rad/s)
+    max_angular_velocity: float = 64.0
     #: isotropic moment of inertia about the COM (from the URDF inertial tag;
     #: drives the spin-friction coupling kappa = m r^2 / I)
     inertia: float = 0.0
@@ -190,6 +193,7 @@ def compile_scene(spec: SceneSpec) -> CompiledScene:
                 mass=float(tree.mass[0]), radius=float(tree.geom_size[0][0]),
                 restitution=actor.restitution, friction=actor.friction,
                 max_linear_velocity=float(actor.max_linear_velocity),
+                max_angular_velocity=float(actor.max_angular_velocity),
                 inertia=float(tree.inertia[0][0, 0]),
             ))
         else:

@@ -238,6 +238,7 @@ class Simulator:
                         plane_e=plane.restitution,
                         plane_mu=plane.dynamic_friction,
                         max_lin=ball.max_linear_velocity,
+                        max_ang=ball.max_angular_velocity,
                         kappa=_ball_kappa(ball))
         # floating kernel: only static actors are constant-folded (the base
         # pose is a runtime input)
@@ -352,6 +353,7 @@ class Simulator:
                             restitution=ball.restitution, friction=ball.friction,
                             plane_e=plane.restitution, plane_mu=plane.dynamic_friction,
                             max_lin=ball.max_linear_velocity,
+                            max_ang=ball.max_angular_velocity,
                             kappa=_ball_kappa(ball))
             single_art = [dict(g, **{}) for g in art_list]
             for g in single_art:
@@ -384,6 +386,7 @@ class Simulator:
                       friction=fb.friction, plane_e=plane.restitution,
                       plane_mu=plane.dynamic_friction,
                       max_lin=fb.max_linear_velocity,
+                      max_ang=fb.max_angular_velocity,
                       kappa=_ball_kappa(fb))
                  for fb in scene.free_bodies]
         self._fused_multi = PDK.build_fused_substep_multi(
@@ -740,6 +743,11 @@ class Simulator:
             ml = float(ball.max_linear_velocity)
             if ml > 0.0:
                 vel = jnp.clip(vel, -ml, ml)
+            # AssetOptions.max_angular_velocity (the reference loads the ball
+            # with default options -> 64 rad/s spin cap in PhysX)
+            ma = float(getattr(ball, "max_angular_velocity", 64.0))
+            if ma > 0.0:
+                omega = jnp.clip(omega, -ma, ma)
             pos = pos + dt_s * vel
             # integrate the ball's orientation from its (spin-updated)
             # angular velocity — PhysX integrates free-body rotation

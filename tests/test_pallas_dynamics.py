@@ -491,7 +491,7 @@ def test_fused_substep_spin_parity_and_topspin_kick():
     state0 = sim.initial_state(B)
     r = state0.root.at[:, 2, 0:3].set(jnp.asarray([-1.0, 0.0, 0.3]))
     r = r.at[:, 2, 7:10].set(jnp.asarray([0.0, 0.0, -3.0]))
-    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 150.0, 0.0]))  # topspin
+    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 50.0, 0.0]))  # topspin
     state0 = state0._replace(root=r)
     tgt = jnp.zeros((B, 7))
     eff = jnp.zeros((B, 7))
@@ -505,8 +505,8 @@ def test_fused_substep_spin_parity_and_topspin_kick():
     bf = np.asarray(sf.root[0, 2])
     bx = np.asarray(sx.root[0, 2])
     # both paths: the sticking bounce kicked the ball forward and shed spin
-    np.testing.assert_allclose(bf[7], 1.2, atol=2e-2)
-    np.testing.assert_allclose(bf[11], 60.0, atol=1.5)
+    np.testing.assert_allclose(bf[7], 0.4, atol=2e-2)
+    np.testing.assert_allclose(bf[11], 20.0, atol=1.0)
     np.testing.assert_allclose(bf[7:13], bx[7:13], atol=1e-3)
     np.testing.assert_allclose(bf[0:3], bx[0:3], atol=1e-3)
     np.testing.assert_allclose(bf[3:7], bx[3:7], atol=1e-3)

@@ -277,7 +277,7 @@ def test_ball_spin_friction_coupling():
     r = state.root
     r = r.at[:, 2, 0:3].set(jnp.asarray([-1.0, 0.0, 0.3]))    # over the ground
     r = r.at[:, 2, 7:10].set(jnp.asarray([0.0, 0.0, -3.0]))   # pure drop
-    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 150.0, 0.0]))  # topspin
+    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 50.0, 0.0]))  # topspin
     state = state._replace(root=r)
     targets = jnp.zeros((B, 7)); efforts = jnp.zeros((B, 7))
     step = jax.jit(sim._step_vmapped)
@@ -287,8 +287,8 @@ def test_ball_spin_friction_coupling():
         if b[9] > 0:
             break
     assert b[9] > 0, "ball never bounced"
-    np.testing.assert_allclose(b[7], 1.2, atol=1e-2)    # forward kick
-    np.testing.assert_allclose(b[11], 60.0, atol=1.0)   # spin reduced
+    np.testing.assert_allclose(b[7], 0.4, atol=1e-2)    # forward kick
+    np.testing.assert_allclose(b[11], 20.0, atol=0.5)   # spin reduced
     # the ball's orientation integrates its spin (quat rotates about y)
     assert abs(b[4]) > 1e-3 and abs(float(state.root[0, 2, 3])) < 1e-6
 
@@ -327,4 +327,5 @@ def test_ball_spin_generated_by_oblique_bounce():
             break
     assert b[9] > 0
     assert b[11] > 1.0, b[11]           # gained forward-roll spin
+    assert b[11] <= 64.001              # AssetOptions.max_angular_velocity cap
     assert 0 < b[7] < 4.0               # friction slowed the slide
