@@ -604,6 +604,9 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     mu_ball = float(ball_cfg["friction"])
     max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
     max_ang_ball = float(ball_cfg.get("max_ang", 64.0))
+    # PhysX velocity damping factors per substep (see simulator XLA path)
+    lin_damp_f = max(0.0, 1.0 - float(ball_cfg.get("lin_damp", 0.0)) * dt_s)
+    ang_damp_f = max(0.0, 1.0 - float(ball_cfg.get("ang_damp", 0.5)) * dt_s)
     # spin-friction coupling kappa = m r^2 / I (ops.contacts
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
@@ -853,7 +856,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         pos = (bp_ref[0], bp_ref[1], bp_ref[2])
         vel = (bv_ref[0] + g_eff[0] * dt_s, bv_ref[1] + g_eff[1] * dt_s,
                bv_ref[2] + g_eff[2] * dt_s)
-        omg = (bw_ref[0], bw_ref[1], bw_ref[2])
+        vel = _scale(vel, lin_damp_f)
+        omg = _scale((bw_ref[0], bw_ref[1], bw_ref[2]), ang_damp_f)
 
         # ground plane (z = 0, normal +z)
         e, mu = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0))), \
@@ -1309,11 +1313,15 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             e_ball = float(bc["restitution"])
             mu_ball = float(bc["friction"])
             kap = float(bc.get("kappa", 0.0))
+            ldf = max(0.0, 1.0 - float(bc.get("lin_damp", 0.0)) * dt_s)
+            adf = max(0.0, 1.0 - float(bc.get("ang_damp", 0.5)) * dt_s)
             pos = (bp_ref[3 * bi + 0], bp_ref[3 * bi + 1], bp_ref[3 * bi + 2])
             vel = (bv_ref[3 * bi + 0] + gx * dt_s,
                    bv_ref[3 * bi + 1] + gy * dt_s,
                    bv_ref[3 * bi + 2] + gz * dt_s)
-            omg = (bw_ref[3 * bi + 0], bw_ref[3 * bi + 1], bw_ref[3 * bi + 2])
+            vel = _scale(vel, ldf)
+            omg = _scale((bw_ref[3 * bi + 0], bw_ref[3 * bi + 1],
+                          bw_ref[3 * bi + 2]), adf)
 
             def resolve_static(vel, omg, dist, n, e, mu, rb_=rb_, kap=kap):
                 # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
@@ -1575,6 +1583,9 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     mu_ball = float(ball_cfg["friction"])
     max_lin_ball = float(ball_cfg.get("max_lin", 1000.0))
     max_ang_ball = float(ball_cfg.get("max_ang", 64.0))
+    # PhysX velocity damping factors per substep (see simulator XLA path)
+    lin_damp_f = max(0.0, 1.0 - float(ball_cfg.get("lin_damp", 0.0)) * dt_s)
+    ang_damp_f = max(0.0, 1.0 - float(ball_cfg.get("ang_damp", 0.5)) * dt_s)
     # spin-friction coupling kappa = m r^2 / I (ops.contacts
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
@@ -1867,7 +1878,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         pos = (blp_ref[0], blp_ref[1], blp_ref[2])
         vel = (blv2_ref[0] + gx * dt_s, blv2_ref[1] + gy * dt_s,
                blv2_ref[2] + gz * dt_s)
-        omg = (blw_ref[0], blw_ref[1], blw_ref[2])
+        vel = _scale(vel, lin_damp_f)
+        omg = _scale((blw_ref[0], blw_ref[1], blw_ref[2]), ang_damp_f)
 
         def resolve_static(vel, omg, dist, n, e, mu):
             # spin-aware (ops.contacts.resolve_sphere_impulse_spin)

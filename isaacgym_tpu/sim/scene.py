@@ -50,6 +50,11 @@ class ActorSpec:
     max_angular_velocity: float = 64.0
     #: linear-velocity clamp (``AssetOptions.max_linear_velocity`` default)
     max_linear_velocity: float = 1000.0
+    #: rigid-body velocity damping (``AssetOptions.linear_damping`` /
+    #: ``angular_damping`` IsaacGym defaults 0.0 / 0.5 — the reference keeps
+    #: them, its only override is commented out). Applied to free bodies.
+    linear_damping: float = 0.0
+    angular_damping: float = 0.5
 
 
 @dataclass
@@ -97,6 +102,9 @@ class FreeBodySlot:
     #: angular-velocity clamp (AssetOptions.max_angular_velocity; the
     #: reference loads the ball with default options -> 64 rad/s)
     max_angular_velocity: float = 64.0
+    #: PhysX per-step velocity damping (AssetOptions defaults 0.0 / 0.5)
+    linear_damping: float = 0.0
+    angular_damping: float = 0.5
     #: isotropic moment of inertia about the COM (from the URDF inertial tag;
     #: drives the spin-friction coupling kappa = m r^2 / I)
     inertia: float = 0.0
@@ -194,6 +202,8 @@ def compile_scene(spec: SceneSpec) -> CompiledScene:
                 restitution=actor.restitution, friction=actor.friction,
                 max_linear_velocity=float(actor.max_linear_velocity),
                 max_angular_velocity=float(actor.max_angular_velocity),
+                linear_damping=float(actor.linear_damping),
+                angular_damping=float(actor.angular_damping),
                 inertia=float(tree.inertia[0][0, 0]),
             ))
         else:

@@ -239,6 +239,8 @@ class Simulator:
                         plane_mu=plane.dynamic_friction,
                         max_lin=ball.max_linear_velocity,
                         max_ang=ball.max_angular_velocity,
+                        lin_damp=ball.linear_damping,
+                        ang_damp=ball.angular_damping,
                         kappa=_ball_kappa(ball))
         # floating kernel: only static actors are constant-folded (the base
         # pose is a runtime input)
@@ -354,6 +356,8 @@ class Simulator:
                             plane_e=plane.restitution, plane_mu=plane.dynamic_friction,
                             max_lin=ball.max_linear_velocity,
                             max_ang=ball.max_angular_velocity,
+                            lin_damp=ball.linear_damping,
+                            ang_damp=ball.angular_damping,
                             kappa=_ball_kappa(ball))
             single_art = [dict(g, **{}) for g in art_list]
             for g in single_art:
@@ -387,6 +391,8 @@ class Simulator:
                       plane_mu=plane.dynamic_friction,
                       max_lin=fb.max_linear_velocity,
                       max_ang=fb.max_angular_velocity,
+                      lin_damp=fb.linear_damping,
+                      ang_damp=fb.angular_damping,
                       kappa=_ball_kappa(fb))
                  for fb in scene.free_bodies]
         self._fused_multi = PDK.build_fused_substep_multi(
@@ -703,6 +709,14 @@ class Simulator:
             pos, vel, omega = ra[0:3], ra[7:10], ra[10:13]
             kappa = _ball_kappa(ball)
             vel = vel + gravity * dt_s
+            # PhysX velocity damping (AssetOptions.linear/angular_damping;
+            # IsaacGym defaults 0.0 / 0.5): v *= max(0, 1 - d dt) per substep
+            ld = float(getattr(ball, "linear_damping", 0.0))
+            ad = float(getattr(ball, "angular_damping", 0.5))
+            if ld > 0.0:
+                vel = vel * max(0.0, 1.0 - ld * dt_s)
+            if ad > 0.0:
+                omega = omega * max(0.0, 1.0 - ad * dt_s)
 
             if scene.spec.plane is not None:
                 e, mu = C.combine_material(ball.restitution, scene.spec.plane.restitution,

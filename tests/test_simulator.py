@@ -167,8 +167,10 @@ def _pingpong_scene(tilt=True):
                       stiffness=kp, damping=kp / 40.0),
             ActorSpec("pingpong_table", _table_tree(), pos=(1.75, 0, 0), fixed_base=True,
                       restitution=1.5, friction=0.2),
+            # angular_damping pinned to 0 so the spin closed forms below are
+            # exact (task scenes keep the AssetOptions default 0.5)
             ActorSpec("pingpong_ball_2", _ball_tree(), pos=(2.9, -0.28, 1.02), fixed_base=False,
-                      restitution=1.5, friction=0.2),
+                      restitution=1.5, friction=0.2, angular_damping=0.0),
         ],
         plane=PlaneParams(), dt=1 / 120, substeps=2,
     )
@@ -329,3 +331,24 @@ def test_ball_spin_generated_by_oblique_bounce():
     assert b[11] > 1.0, b[11]           # gained forward-roll spin
     assert b[11] <= 64.001              # AssetOptions.max_angular_velocity cap
     assert 0 < b[7] < 4.0               # friction slowed the slide
+
+
+def test_ball_angular_damping_decay():
+    """AssetOptions.angular_damping (IsaacGym default 0.5, kept by the
+    reference) decays free-body spin as prod(1 - d*dt_s): over 1 s at
+    240 substeps/s the factor is (1 - 0.5/240)^240 ~= 0.6063."""
+    spec = SceneSpec(
+        actors=[ActorSpec("ball", _ball_tree(), pos=(0, 0, 50.0), fixed_base=False,
+                          restitution=1.5, friction=0.2)],  # default damping
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    state = sim.initial_state(2)
+    state = state._replace(root=state.root.at[:, 0, 10:13].set(
+        jnp.asarray([0.0, 40.0, 0.0])))
+    zeros = jnp.zeros((2, 0))
+    state = _run(sim, state, zeros, zeros, 120)  # 1 s of free fall
+    w = float(state.root[0, 0, 11])
+    np.testing.assert_allclose(w, 40.0 * (1.0 - 0.5 / 240.0) ** 240, rtol=1e-4)
+    # linear velocity is NOT damped (linear_damping default 0)
+    np.testing.assert_allclose(float(state.root[0, 0, 9]), -9.81, atol=0.01)
