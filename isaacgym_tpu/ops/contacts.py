@@ -102,9 +102,16 @@ def sphere_sphere(center, radius, other_pos, other_radius):
 
 
 def resolve_sphere_impulse(v_ball, frame: ContactFrame, v_surf,
-                           restitution, friction, bounce_threshold=0.2):
+                           restitution, friction, bounce_threshold=0.2,
+                           dt=0.0):
     """Velocity change of a unit-mass-scaled free sphere against a
     kinematic/static surface.
+
+    ``dt`` > 0 enables SPECULATIVE activation (PhysX's default CCD mode):
+    the contact fires when the sphere will cross the surface within the
+    substep (dist + vn dt < 0), which prevents fast balls from tunneling
+    through thin geoms (paddle blade 15 mm vs 36 mm/substep at the C6
+    launch speed). dt = 0 reproduces penetration-only activation.
 
     Returns (dv, impulse_per_mass, active):
       dv: (3,) velocity change to add to the ball,
@@ -113,7 +120,7 @@ def resolve_sphere_impulse(v_ball, frame: ContactFrame, v_surf,
     """
     v_rel = v_ball - v_surf
     vn = jnp.sum(v_rel * frame.normal, axis=-1)
-    active = (frame.dist < 0.0) & (vn < 0.0)
+    active = (frame.dist + vn * dt < 0.0) & (vn < 0.0)
     e = jnp.where(jnp.abs(vn) > bounce_threshold, restitution, 0.0)
     jn = -(1.0 + e) * vn                                  # normal Δv magnitude
     vt = v_rel - vn[..., None] * frame.normal
@@ -127,7 +134,8 @@ def resolve_sphere_impulse(v_ball, frame: ContactFrame, v_surf,
 
 def resolve_sphere_impulse_spin(v_ball, omega, radius, kappa,
                                 frame: ContactFrame, v_surf,
-                                restitution, friction, bounce_threshold=0.2):
+                                restitution, friction, bounce_threshold=0.2,
+                                dt=0.0):
     """Spin-aware variant of :func:`resolve_sphere_impulse` (PhysX parity:
     rigid-body friction acts at the contact *point*, so ball angular velocity
     both feeds the tangential slip and receives the friction torque).
@@ -138,14 +146,15 @@ def resolve_sphere_impulse_spin(v_ball, omega, radius, kappa,
     (3/2 hollow sphere, 5/2 solid), so sticking needs
     j_t = |u_t| / (1 + kappa) and Coulomb gives j_t = min(mu j_n, that).
     Angular update: domega = (kappa j_t / r) (n x t_hat). The normal impulse
-    passes through the center — no torque.
+    passes through the center — no torque. ``dt`` > 0 enables speculative
+    activation (see resolve_sphere_impulse).
 
     Returns (dv, domega, impulse_per_mass, active).
     """
     n = frame.normal
     v_rel = v_ball - v_surf
     vn = jnp.sum(v_rel * n, axis=-1)
-    active = (frame.dist < 0.0) & (vn < 0.0)
+    active = (frame.dist + vn * dt < 0.0) & (vn < 0.0)
     e = jnp.where(jnp.abs(vn) > bounce_threshold, restitution, 0.0)
     jn = -(1.0 + e) * vn
     # slip at the contact point (omega x n is tangential, so vn is unchanged)

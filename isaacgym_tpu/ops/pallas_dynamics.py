@@ -686,7 +686,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         effective inverse mass gains (1 + kappa), and friction torques the
         ball by (kappa jt / r)(n x t_hat)."""
         vn = _dot(vel, n)
-        active = (dist < 0.0) & (vn < 0.0)
+        active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative (CCD)
         e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
         jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
         slip = _sub(vel, _scale(_cross(omg, n), rb_))
@@ -939,7 +939,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 
             v_rel = _sub(vel, v_point)
             vn = _dot(v_rel, n)
-            active = (dist < 0.0) & (vn < 0.0)
+            active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
             e = 0.5 * (e_ball + float(g["e"]) * rest_s)
             mu = 0.5 * (mu_ball + float(g["mu"]) * fric_s)
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
@@ -1326,7 +1326,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             def resolve_static(vel, omg, dist, n, e, mu, rb_=rb_, kap=kap):
                 # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
                 vn = _dot(vel, n)
-                active = (dist < 0.0) & (vn < 0.0)
+                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
                 jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
                 slip = _sub(vel, _scale(_cross(omg, n), rb_))
@@ -1403,7 +1403,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                         v_point = _add(v_point, _scale(Jcols[i], rt["u"][i]))
                 v_rel = _sub(vel, v_point)
                 vn = _dot(v_rel, n)
-                active = (dist < 0.0) & (vn < 0.0)
+                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
                 e = 0.5 * (e_ball + float(g["e"]))
                 mu = 0.5 * (mu_ball + float(g["mu"]))
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
@@ -1884,7 +1884,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         def resolve_static(vel, omg, dist, n, e, mu):
             # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
             vn = _dot(vel, n)
-            active = (dist < 0.0) & (vn < 0.0)
+            active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
             jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
             slip = _sub(vel, _scale(_cross(omg, n), rb_))
@@ -1948,7 +1948,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             v_point = j_u(cols)
             v_rel = _sub(vel, v_point)
             vn = _dot(v_rel, n)
-            active = (dist < 0.0) & (vn < 0.0)
+            active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)

@@ -732,7 +732,7 @@ class Simulator:
                     frame = C.sphere_plane(pos, ball.radius)
                 dv, dw, _, active = C.resolve_sphere_impulse_spin(
                     vel, omega, ball.radius, kappa, frame, jnp.zeros(3),
-                    e, mu, self.bounce_threshold)
+                    e, mu, self.bounce_threshold, dt=dt_s)
                 vel = vel + dv
                 omega = omega + dw
                 pos = C.depenetrate(pos, frame, active)
@@ -740,14 +740,14 @@ class Simulator:
 
             for grp in self.static_groups:
                 pos, vel, omega, dv_tot = self._ball_vs_static_group(
-                    root, grp, ball, pos, vel, omega)
+                    root, grp, ball, pos, vel, omega, dt_s)
                 ncf = ncf.at[ball.body_start].add(dv_tot * (ball.mass / self.dt))
 
             for art_idx, groups in self.art_groups.items():
                 rt = art_runtime[art_idx]
                 for grp in groups:
                     pos, vel, omega, du, P = self._ball_vs_art_group(
-                        rt, grp, ball, pos, vel, omega, dr)
+                        rt, grp, ball, pos, vel, omega, dt_s, dr)
                     rt["u"] = rt["u"] + du
                     ncf = ncf.at[ball.body_start].add(P.sum(axis=0) / self.dt)
                     ncf = ncf.at[jnp.asarray(grp.body)].add(-P / self.dt)
@@ -815,7 +815,8 @@ class Simulator:
             return jax.vmap(fn)(gpos, jnp.asarray(size))
         raise NotImplementedError(kind)
 
-    def _ball_vs_static_group(self, root, grp: _GeomGroup, ball, pos, vel, omega):
+    def _ball_vs_static_group(self, root, grp: _GeomGroup, ball, pos, vel,
+                              omega, dt_s):
         roots = root[jnp.asarray(grp.actor_index)]                # (k,13)
         gpos = roots[:, 0:3] + rot.quat_rotate(roots[:, 3:7], jnp.asarray(grp.offset_pos))
         gquat = rot.quat_mul(roots[:, 3:7], jnp.asarray(grp.offset_quat))
@@ -824,7 +825,7 @@ class Simulator:
                                    ball.friction, jnp.asarray(grp.friction))
         dv, dw, _, active = C.resolve_sphere_impulse_spin(
             vel[None], omega[None], ball.radius, _ball_kappa(ball), frame,
-            jnp.zeros_like(gpos), e, mu, self.bounce_threshold)
+            jnp.zeros_like(gpos), e, mu, self.bounce_threshold, dt=dt_s)
         dv_tot = dv.sum(axis=0)
         vel = vel + dv_tot
         omega = omega + dw.sum(axis=0)
@@ -832,7 +833,7 @@ class Simulator:
         return pos + push.sum(axis=0), vel, omega, dv_tot
 
     def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, omega,
-                           dr=None):
+                           dt_s, dr=None):
         """Ball vs one kind-group of articulated geoms, with joint-space
         two-body impulses and ball spin coupling.
         Returns (pos, vel, omega, Δu, P)."""
@@ -856,7 +857,9 @@ class Simulator:
         n = frame.normal
         v_rel = vel[None] - v_point
         vn = jnp.sum(v_rel * n, axis=-1)
-        active = (frame.dist < 0.0) & (vn < 0.0)
+        # speculative activation (PhysX CCD): fire before a fast ball can
+        # cross a thin geom within the substep
+        active = (frame.dist + vn * dt_s < 0.0) & (vn < 0.0)
         grp_e = jnp.asarray(grp.restitution)
         grp_mu = jnp.asarray(grp.friction)
         if dr is not None:  # humanoid shape-property randomization

@@ -119,7 +119,10 @@ def test_table_bounce_super_elastic():
     idx = int(np.argmax((vz[:-1] < 0) & (vz[1:] > 0)))
     v_in, v_out = vz[idx], vz[idx + 1]
     assert v_in < -2.0
-    np.testing.assert_allclose(v_out / -v_in, 1.5, atol=0.03)
+    # the step-granularity trace undersamples v_in by up to one substep of
+    # gravity (speculative contacts fire a substep before crossing), which
+    # inflates the measured ratio by ~1.5*g*dt_s/|v_in| ~= 0.03
+    np.testing.assert_allclose(v_out / -v_in, 1.5, atol=0.06)
     # ball must reach above its drop height afterwards
     assert z.max() > 1.25
 
@@ -352,3 +355,32 @@ def test_ball_angular_damping_decay():
     np.testing.assert_allclose(w, 40.0 * (1.0 - 0.5 / 240.0) ** 240, rtol=1e-4)
     # linear velocity is NOT damped (linear_damping default 0)
     np.testing.assert_allclose(float(state.root[0, 0, 9]), -9.81, atol=0.01)
+
+
+def test_speculative_contact_prevents_paddle_tunneling():
+    """PhysX uses speculative contacts (its default CCD): a contact fires
+    when the ball will cross the surface within the substep. The paddle
+    blade is 15 mm thick and the capture window along its normal is
+    half_len + ball radius = 27.5 mm, while a 9.5 m/s ball moves 39.6 mm
+    per substep — penetration-only activation can tunnel straight through.
+    Fire the ball at the paddle face along its normal and require a
+    contact impulse on the paddle body."""
+    from isaacgym_tpu.utils import rotations as rot
+    scene = compile_scene(_pingpong_scene())
+    sim = Simulator(scene)
+    state = sim.initial_state(2)
+    rb = sim.rigid_body_states(state)
+    pp = np.asarray(rb[0, 39, 0:3])
+    pq = jnp.asarray(rb[0, 39, 3:7])
+    nrm = np.asarray(rot.quat_rotate(pq, jnp.asarray([1.0, 0.0, 0.0])))
+    center = pp + np.asarray(rot.quat_rotate(pq, jnp.asarray([0.05, 0.0, 0.0])))
+    r = state.root.at[:, 2, 0:3].set(jnp.asarray(center + 0.25 * nrm))
+    r = r.at[:, 2, 7:10].set(jnp.asarray(-9.5 * nrm))
+    state = state._replace(root=r)
+    targets = jnp.zeros((2, 7)); efforts = jnp.zeros((2, 7))
+    step = jax.jit(sim._step_vmapped)
+    hit = 0.0
+    for _ in range(12):
+        state = step(state, targets, efforts)
+        hit = max(hit, float(jnp.abs(state.net_contact_force[0, 39]).max()))
+    assert hit > 0.1, "ball tunneled through the paddle"
