@@ -1307,6 +1307,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             n = tuple(jnp.where(outside, n_out[i], n_in[i]) for i in range(3))
             return jnp.where(outside, out_dist, d_in) - rad, n
 
+        ball_rt = []  # per-ball (pos, vel, omg, s_imp, cfg) for the pair phase
         for bi, bc in enumerate(balls):
             rb_ = float(bc["radius"])
             inv_mb = 1.0 / float(bc["mass"])
@@ -1367,8 +1368,6 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 pos = _add(pos, push)
                 for i3 in range(3):
                     s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
-            for i3 in range(3):
-                imp_ref[(ng + bi) * 3 + i3] = s_imp[i3]
             b_art = [zero, zero, zero]  # Σ reactions this ball receives
 
             for gi, g in enumerate(art_geoms):
@@ -1434,6 +1433,51 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
 
             for i3 in range(3):
                 imp_ref[(ng + NB + bi) * 3 + i3] = b_art[i3]
+            ball_rt.append(dict(pos=pos, vel=vel, omg=omg, s_imp=s_imp,
+                                rb=rb_, inv_m=inv_mb, kap=kap, bc=bc))
+
+        # -- ball-ball contacts (C11: two balls in one env; matches the XLA
+        # path's pairwise dynamic sphere-sphere impulse incl. spin) ---------
+        for i in range(NB):
+            for j in range(i + 1, NB):
+                A, Bb = ball_rt[i], ball_rt[j]
+                d = _sub(A["pos"], Bb["pos"])
+                dn = jnp.sqrt(jnp.maximum(_dot(d, d), 1e-18))
+                n = _scale(d, 1.0 / dn)
+                dist = dn - A["rb"] - Bb["rb"]
+                v_rel = _sub(A["vel"], Bb["vel"])
+                vn = _dot(v_rel, n)
+                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+                e = 0.5 * (float(A["bc"]["restitution"]) + float(Bb["bc"]["restitution"]))
+                mu = 0.5 * (float(A["bc"]["friction"]) + float(Bb["bc"]["friction"]))
+                e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
+                Pn = jnp.where(active,
+                               -(1.0 + e_eff) * vn / (A["inv_m"] + Bb["inv_m"]), 0.0)
+                slip = _sub(v_rel, _add(_scale(_cross(A["omg"], n), A["rb"]),
+                                        _scale(_cross(Bb["omg"], n), Bb["rb"])))
+                vt = _sub(slip, _scale(n, _dot(slip, n)))
+                vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+                t_hat = _scale(vt, 1.0 / vt_n)
+                w_t = (1.0 + A["kap"]) * A["inv_m"] + (1.0 + Bb["kap"]) * Bb["inv_m"]
+                Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_n / w_t), 0.0)
+                P = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+                dwdir = _cross(n, t_hat)
+                A["vel"] = _add(A["vel"], _scale(P, A["inv_m"]))
+                Bb["vel"] = _sub(Bb["vel"], _scale(P, Bb["inv_m"]))
+                A["omg"] = _add(A["omg"], _scale(dwdir, A["kap"] * A["inv_m"] / A["rb"] * Pt))
+                Bb["omg"] = _add(Bb["omg"], _scale(dwdir, Bb["kap"] * Bb["inv_m"] / Bb["rb"] * Pt))
+                push = jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)
+                A["pos"] = _add(A["pos"], _scale(n, 0.5 * push))
+                Bb["pos"] = _sub(Bb["pos"], _scale(n, 0.5 * push))
+                for i3 in range(3):
+                    A["s_imp"][i3] = A["s_imp"][i3] + P[i3]
+                    Bb["s_imp"][i3] = Bb["s_imp"][i3] - P[i3]
+
+        # -- clamp + integrate + write back ---------------------------------
+        for bi, (bc, rt_b) in enumerate(zip(balls, ball_rt)):
+            pos, vel, omg = rt_b["pos"], rt_b["vel"], rt_b["omg"]
+            for i3 in range(3):
+                imp_ref[(ng + bi) * 3 + i3] = rt_b["s_imp"][i3]
             # ball AssetOptions.max_linear_velocity (matches the XLA path)
             vel = tuple(jnp.clip(v, -float(bc.get("max_lin", 1000.0)),
                                  float(bc.get("max_lin", 1000.0))) for v in vel)

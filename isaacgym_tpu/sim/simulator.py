@@ -703,7 +703,8 @@ class Simulator:
         if ncf is None:
             ncf = jnp.zeros((scene.num_bodies, 3), jnp.float32)
 
-        # -- free bodies (balls): gravity + contacts + integration -------------
+        # -- free bodies (balls): gravity + environment contacts ---------------
+        ball_states = []
         for ball in scene.free_bodies:
             ra = root[ball.actor_index]
             pos, vel, omega = ra[0:3], ra[7:10], ra[10:13]
@@ -752,6 +753,49 @@ class Simulator:
                     ncf = ncf.at[ball.body_start].add(P.sum(axis=0) / self.dt)
                     ncf = ncf.at[jnp.asarray(grp.body)].add(-P / self.dt)
 
+            ball_states.append([pos, vel, omega])
+
+        # -- ball-ball contacts (C11 class: two free balls in one env) ---------
+        for i in range(len(scene.free_bodies)):
+            for j in range(i + 1, len(scene.free_bodies)):
+                a, b = scene.free_bodies[i], scene.free_bodies[j]
+                pa, va, wa = ball_states[i]
+                pb, vb, wb = ball_states[j]
+                ka, kb = _ball_kappa(a), _ball_kappa(b)
+                inv_ma, inv_mb = 1.0 / a.mass, 1.0 / b.mass
+                d = pa - pb
+                dn = jnp.linalg.norm(d)
+                n = d / jnp.maximum(dn, 1e-9)
+                dist = dn - a.radius - b.radius
+                v_rel = va - vb
+                vn = jnp.sum(v_rel * n)
+                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+                e, mu = C.combine_material(a.restitution, b.restitution,
+                                           a.friction, b.friction)
+                e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
+                Pn = jnp.where(active, -(1.0 + e_eff) * vn / (inv_ma + inv_mb), 0.0)
+                # slip of a's surface past b's at the contact point
+                slip = (v_rel - a.radius * jnp.cross(wa, n)
+                        - b.radius * jnp.cross(wb, n))
+                vt = slip - jnp.sum(slip * n) * n
+                vt_norm = jnp.linalg.norm(vt)
+                t_hat = vt / jnp.maximum(vt_norm, 1e-9)
+                w_t = (1.0 + ka) * inv_ma + (1.0 + kb) * inv_mb
+                Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / w_t), 0.0)
+                P = Pn * n - Pt * t_hat
+                dwdir = jnp.cross(n, t_hat)
+                ball_states[i][1] = va + P * inv_ma
+                ball_states[j][1] = vb - P * inv_mb
+                ball_states[i][2] = wa + (ka * inv_ma / a.radius) * Pt * dwdir
+                ball_states[j][2] = wb + (kb * inv_mb / b.radius) * Pt * dwdir
+                push = jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)
+                ball_states[i][0] = pa + 0.5 * push * n
+                ball_states[j][0] = pb - 0.5 * push * n
+                ncf = ncf.at[a.body_start].add(P / self.dt)
+                ncf = ncf.at[b.body_start].add(-P / self.dt)
+
+        # -- clamp + integrate + write back -------------------------------------
+        for ball, (pos, vel, omega) in zip(scene.free_bodies, ball_states):
             # AssetOptions.max_linear_velocity (default 1000): inert in play,
             # bounds runaway states like the articulation clamps do
             ml = float(ball.max_linear_velocity)
@@ -765,7 +809,7 @@ class Simulator:
             pos = pos + dt_s * vel
             # integrate the ball's orientation from its (spin-updated)
             # angular velocity — PhysX integrates free-body rotation
-            bq = ra[3:7]
+            bq = root[ball.actor_index, 3:7]
             wq = jnp.concatenate([omega, jnp.zeros(1)])
             bq = rot.quat_unit(bq + 0.5 * dt_s * rot.quat_mul(wq, bq))
             root = root.at[ball.actor_index, 0:3].set(pos)

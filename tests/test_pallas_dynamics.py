@@ -510,3 +510,45 @@ def test_fused_substep_spin_parity_and_topspin_kick():
     np.testing.assert_allclose(bf[7:13], bx[7:13], atol=1e-3)
     np.testing.assert_allclose(bf[0:3], bx[0:3], atol=1e-3)
     np.testing.assert_allclose(bf[3:7], bx[3:7], atol=1e-3)
+
+
+def test_fused_multi_ball_ball_collision_parity():
+    """Two balls on a collision course in the toy 2-arm scene: the multi
+    kernel's pairwise sphere-sphere impulse (incl. spin) must match the XLA
+    path, and the balls must actually rebound off each other."""
+    from isaacgym_tpu.sim.scene import DRIVE_POS
+    from isaacgym_tpu.sim.simulator import Simulator
+
+    scene = _toy_multi_scene(DRIVE_POS)
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert getattr(sim, "_fused_multi", None) is not None
+
+    B = 128
+    state0 = sim.initial_state(B)
+    # head-on at matched height, one ball spinning
+    r = state0.root
+    r = r.at[:, 2, 0:3].set(jnp.asarray([1.2, 0.0, 1.3]))
+    r = r.at[:, 3, 0:3].set(jnp.asarray([0.8, 0.0, 1.3]))
+    r = r.at[:, 2, 7:10].set(jnp.asarray([-2.5, 0.0, 0.0]))
+    r = r.at[:, 3, 7:10].set(jnp.asarray([2.5, 0.0, 0.0]))
+    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 0.0, 30.0]))
+    state0 = state0._replace(root=r)
+    nd = scene.num_dofs
+    tgt = jnp.zeros((B, nd)); eff = jnp.zeros((B, nd))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(12):
+        sf = fused(sf, tgt, eff)
+        sx = xla(sx, tgt, eff)
+    # both paths agree on positions, velocities and spins of both balls
+    for ba in (2, 3):
+        np.testing.assert_allclose(np.asarray(sf.root[:, ba, 0:3]),
+                                   np.asarray(sx.root[:, ba, 0:3]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sf.root[:, ba, 7:13]),
+                                   np.asarray(sx.root[:, ba, 7:13]), atol=2e-2)
+    # and the balls rebounded (e_pair = 1.3): vx signs flipped
+    assert float(sf.root[0, 2, 7]) > 1.0
+    assert float(sf.root[0, 3, 7]) < -1.0

@@ -384,3 +384,30 @@ def test_speculative_contact_prevents_paddle_tunneling():
         state = step(state, targets, efforts)
         hit = max(hit, float(jnp.abs(state.net_contact_force[0, 39]).max()))
     assert hit > 0.1, "ball tunneled through the paddle"
+
+
+def test_ball_ball_collision_closed_form():
+    """Two equal free balls head-on: v_rel' = -e v_rel with e = avg(1.5,1.5),
+    so each ball rebounds at 1.5x its approach speed (super-elastic pair)."""
+    ball = _ball_tree()
+    spec = SceneSpec(
+        actors=[
+            ActorSpec("ball_a", ball, pos=(0.06, 0.0, 5.0), fixed_base=False,
+                      restitution=1.5, friction=0.2, angular_damping=0.0),
+            ActorSpec("ball_b", ball, pos=(-0.06, 0.0, 5.0), fixed_base=False,
+                      restitution=1.5, friction=0.2, angular_damping=0.0),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    )
+    sim = Simulator(compile_scene(spec))
+    state = sim.initial_state(2)
+    r = state.root.at[:, 0, 7:10].set(jnp.asarray([-2.0, 0.0, 0.0]))
+    r = r.at[:, 1, 7:10].set(jnp.asarray([2.0, 0.0, 0.0]))
+    state = state._replace(root=r)
+    zeros = jnp.zeros((2, 0))
+    step = jax.jit(sim._step_vmapped)
+    for _ in range(8):   # gap 0.08 m closes at 4 m/s -> ~5 substeps
+        state = step(state, zeros, zeros)
+    va = float(state.root[0, 0, 7]); vb = float(state.root[0, 1, 7])
+    np.testing.assert_allclose(va, 3.0, atol=1e-3)   # 1.5 x 2.0, rebounding +x
+    np.testing.assert_allclose(vb, -3.0, atol=1e-3)
