@@ -157,8 +157,11 @@ def resolve_sphere_impulse_spin(v_ball, omega, radius, kappa,
     active = (frame.dist + vn * dt < 0.0) & (vn < 0.0)
     e = jnp.where(jnp.abs(vn) > bounce_threshold, restitution, 0.0)
     jn = -(1.0 + e) * vn
-    # slip at the contact point (omega x n is tangential, so vn is unchanged)
-    slip = v_rel - radius * jnp.cross(omega, n)
+    # slip at the contact point (omega x n is tangential, so vn is unchanged).
+    # kappa == 0 means "no inertia recorded": fully decouple spin (both the
+    # slip contribution and the torque), reproducing spin-less behavior.
+    spin_term = radius * jnp.cross(omega, n) if kappa > 0.0 else 0.0
+    slip = v_rel - spin_term
     vt = slip - jnp.sum(slip * n, axis=-1)[..., None] * n
     vt_norm = jnp.linalg.norm(vt, axis=-1)
     jt = jnp.minimum(friction * jn, vt_norm / (1.0 + kappa))

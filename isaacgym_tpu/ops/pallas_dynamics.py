@@ -689,7 +689,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative (CCD)
         e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
         jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
-        slip = _sub(vel, _scale(_cross(omg, n), rb_))
+        slip = _sub(vel, _scale(_cross(omg, n), rb_)) if kappa > 0 else vel
         vt = _sub(slip, _scale(n, _dot(slip, n)))
         vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
         jt = jnp.where(active, jnp.minimum(mu * jn, vt_n / (1.0 + kappa)), 0.0)
@@ -948,7 +948,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             w_n = inv_mb + sum(v * v for v in yn)
             Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
 
-            slip = _sub(v_rel, _scale(_cross(omg, n), rb_))
+            slip = (_sub(v_rel, _scale(_cross(omg, n), rb_))
+                    if kappa > 0 else v_rel)
             vt = _sub(slip, _scale(n, _dot(slip, n)))
             vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
             inv_vt = 1.0 / vt_n
@@ -970,15 +971,17 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 
         for d in range(nd):
             qdn_ref[d] = u[d]
-        # ball AssetOptions.max_linear_velocity (matches the XLA path)
-        vel = tuple(jnp.clip(v, -max_lin_ball, max_lin_ball) for v in vel)
+        # ball AssetOptions.max_linear_velocity — PhysX caps the MAGNITUDE
+        vel = _scale(vel, jnp.minimum(
+            1.0, max_lin_ball / jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
         bpn_ref[0] = pos[0] + vel[0] * dt_s
         bpn_ref[1] = pos[1] + vel[1] * dt_s
         bpn_ref[2] = pos[2] + vel[2] * dt_s
         bvn_ref[0] = vel[0]
         bvn_ref[1] = vel[1]
         bvn_ref[2] = vel[2]
-        omg = tuple(jnp.clip(w, -max_ang_ball, max_ang_ball) for w in omg)
+        omg = _scale(omg, jnp.minimum(
+            1.0, max_ang_ball / jnp.sqrt(jnp.maximum(_dot(omg, omg), 1e-18))))
         bwn_ref[0] = omg[0]
         bwn_ref[1] = omg[1]
         bwn_ref[2] = omg[2]
@@ -1330,7 +1333,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
                 jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
-                slip = _sub(vel, _scale(_cross(omg, n), rb_))
+                slip = (_sub(vel, _scale(_cross(omg, n), rb_))
+                        if kap > 0 else vel)
                 vt = _sub(slip, _scale(n, _dot(slip, n)))
                 vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
                 jt = jnp.where(active, jnp.minimum(mu * jn, vt_n / (1.0 + kap)), 0.0)
@@ -1411,7 +1415,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 yn = rt["fwd_sub"](JTn)
                 w_n = inv_mb + sum(v * v for v in yn)
                 Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
-                slip = _sub(v_rel, _scale(_cross(omg, n), rb_))
+                slip = (_sub(v_rel, _scale(_cross(omg, n), rb_))
+                        if kap > 0 else v_rel)
                 vt = _sub(slip, _scale(n, _dot(slip, n)))
                 vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
                 t_hat = _scale(vt, 1.0 / vt_n)
@@ -1453,8 +1458,11 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
                 Pn = jnp.where(active,
                                -(1.0 + e_eff) * vn / (A["inv_m"] + Bb["inv_m"]), 0.0)
-                slip = _sub(v_rel, _add(_scale(_cross(A["omg"], n), A["rb"]),
-                                        _scale(_cross(Bb["omg"], n), Bb["rb"])))
+                sa = (_scale(_cross(A["omg"], n), A["rb"])
+                      if A["kap"] > 0 else (0.0, 0.0, 0.0))
+                sb = (_scale(_cross(Bb["omg"], n), Bb["rb"])
+                      if Bb["kap"] > 0 else (0.0, 0.0, 0.0))
+                slip = _sub(v_rel, _add(sa, sb))
                 vt = _sub(slip, _scale(n, _dot(slip, n)))
                 vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
                 t_hat = _scale(vt, 1.0 / vt_n)
@@ -1478,9 +1486,10 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             pos, vel, omg = rt_b["pos"], rt_b["vel"], rt_b["omg"]
             for i3 in range(3):
                 imp_ref[(ng + bi) * 3 + i3] = rt_b["s_imp"][i3]
-            # ball AssetOptions.max_linear_velocity (matches the XLA path)
-            vel = tuple(jnp.clip(v, -float(bc.get("max_lin", 1000.0)),
-                                 float(bc.get("max_lin", 1000.0))) for v in vel)
+            # ball AssetOptions.max_linear_velocity — PhysX caps the MAGNITUDE
+            ml_b = float(bc.get("max_lin", 1000.0))
+            vel = _scale(vel, jnp.minimum(
+                1.0, ml_b / jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
             bpn_ref[3 * bi + 0] = pos[0] + vel[0] * dt_s
             bpn_ref[3 * bi + 1] = pos[1] + vel[1] * dt_s
             bpn_ref[3 * bi + 2] = pos[2] + vel[2] * dt_s
@@ -1488,7 +1497,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             bvn_ref[3 * bi + 1] = vel[1]
             bvn_ref[3 * bi + 2] = vel[2]
             ma_b = float(bc.get("max_ang", 64.0))
-            omg = tuple(jnp.clip(w, -ma_b, ma_b) for w in omg)
+            omg = _scale(omg, jnp.minimum(
+                1.0, ma_b / jnp.sqrt(jnp.maximum(_dot(omg, omg), 1e-18))))
             bwn_ref[3 * bi + 0] = omg[0]
             bwn_ref[3 * bi + 1] = omg[1]
             bwn_ref[3 * bi + 2] = omg[2]
@@ -1931,7 +1941,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
             jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
-            slip = _sub(vel, _scale(_cross(omg, n), rb_))
+            slip = (_sub(vel, _scale(_cross(omg, n), rb_))
+                    if kappa > 0 else vel)
             vt = _sub(slip, _scale(n, _dot(slip, n)))
             vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
             jt = jnp.where(active, jnp.minimum(mu * jn, vt_n / (1.0 + kappa)), 0.0)
@@ -1999,7 +2010,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             yn = fwd_sub(jt_dot(cols, n))
             w_n = inv_mb + sum(v_ * v_ for v_ in yn if not _isz(v_))
             Pn = jnp.where(active, -(1.0 + e_eff) * vn / w_n, 0.0)
-            slip = _sub(v_rel, _scale(_cross(omg, n), rb_))
+            slip = (_sub(v_rel, _scale(_cross(omg, n), rb_))
+                    if kappa > 0 else v_rel)
             vt = _sub(slip, _scale(n, _dot(slip, n)))
             vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
             t_hat = _scale(vt, 1.0 / vt_n)
@@ -2055,15 +2067,17 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         for i in range(3):
             bwn_ref[i] = u[i]
             bvn_ref[i] = u[3 + i]
-        # ball AssetOptions.max_linear_velocity (matches the XLA path)
-        vel = tuple(jnp.clip(v, -max_lin_ball, max_lin_ball) for v in vel)
+        # ball AssetOptions.max_linear_velocity — PhysX caps the MAGNITUDE
+        vel = _scale(vel, jnp.minimum(
+            1.0, max_lin_ball / jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
         ballp_ref[0] = pos[0] + vel[0] * dt_s
         ballp_ref[1] = pos[1] + vel[1] * dt_s
         ballp_ref[2] = pos[2] + vel[2] * dt_s
         ballv_ref[0] = vel[0]
         ballv_ref[1] = vel[1]
         ballv_ref[2] = vel[2]
-        omg = tuple(jnp.clip(w, -max_ang_ball, max_ang_ball) for w in omg)
+        omg = _scale(omg, jnp.minimum(
+            1.0, max_ang_ball / jnp.sqrt(jnp.maximum(_dot(omg, omg), 1e-18))))
         ballw_ref[0] = omg[0]
         ballw_ref[1] = omg[1]
         ballw_ref[2] = omg[2]

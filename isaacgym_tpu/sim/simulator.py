@@ -71,7 +71,7 @@ def _ball_kappa(ball) -> float:
     inertia is recorded (spin decoupled, pre-spin behavior)."""
     if getattr(ball, "inertia", 0.0) > 0.0:
         return float(ball.mass * ball.radius ** 2 / ball.inertia)
-    return 0.0
+    return 0.0  # contacts treat kappa == 0 as fully spin-decoupled
 
 
 def _compose(p1, q1, p2, q2):
@@ -797,21 +797,22 @@ class Simulator:
         # -- clamp + integrate + write back -------------------------------------
         for ball, (pos, vel, omega) in zip(scene.free_bodies, ball_states):
             # AssetOptions.max_linear_velocity (default 1000): inert in play,
-            # bounds runaway states like the articulation clamps do
+            # bounds runaway states like the articulation clamps do.
+            # PhysX caps the MAGNITUDE (not per component).
             ml = float(ball.max_linear_velocity)
             if ml > 0.0:
-                vel = jnp.clip(vel, -ml, ml)
+                vel = vel * jnp.minimum(
+                    1.0, ml / jnp.maximum(jnp.linalg.norm(vel), 1e-9))
             # AssetOptions.max_angular_velocity (the reference loads the ball
             # with default options -> 64 rad/s spin cap in PhysX)
             ma = float(getattr(ball, "max_angular_velocity", 64.0))
             if ma > 0.0:
-                omega = jnp.clip(omega, -ma, ma)
+                omega = omega * jnp.minimum(
+                    1.0, ma / jnp.maximum(jnp.linalg.norm(omega), 1e-9))
             pos = pos + dt_s * vel
             # integrate the ball's orientation from its (spin-updated)
             # angular velocity — PhysX integrates free-body rotation
-            bq = root[ball.actor_index, 3:7]
-            wq = jnp.concatenate([omega, jnp.zeros(1)])
-            bq = rot.quat_unit(bq + 0.5 * dt_s * rot.quat_mul(wq, bq))
+            bq = _integrate_quat(root[ball.actor_index, 3:7], omega, dt_s)
             root = root.at[ball.actor_index, 0:3].set(pos)
             root = root.at[ball.actor_index, 3:7].set(bq)
             root = root.at[ball.actor_index, 7:10].set(vel)
