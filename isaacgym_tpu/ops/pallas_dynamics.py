@@ -607,6 +607,9 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     # PhysX velocity damping factors per substep (see simulator XLA path)
     lin_damp_f = max(0.0, 1.0 - float(ball_cfg.get("lin_damp", 0.0)) * dt_s)
     ang_damp_f = max(0.0, 1.0 - float(ball_cfg.get("ang_damp", 0.5)) * dt_s)
+    # opt-in aerodynamics (0 = off, terms prune at trace time)
+    kd_aero = float(ball_cfg.get("drag_k", 0.0))
+    km_aero = float(ball_cfg.get("magnus_k", 0.0))
     # spin-friction coupling kappa = m r^2 / I (ops.contacts
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
@@ -858,6 +861,11 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                bv_ref[2] + g_eff[2] * dt_s)
         vel = _scale(vel, lin_damp_f)
         omg = _scale((bw_ref[0], bw_ref[1], bw_ref[2]), ang_damp_f)
+        if kd_aero > 0.0:
+            vel = _sub(vel, _scale(vel, dt_s * kd_aero
+                                   * jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
+        if km_aero > 0.0:
+            vel = _add(vel, _scale(_cross(omg, vel), dt_s * km_aero))
 
         # ground plane (z = 0, normal +z)
         e, mu = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0))), \
@@ -1326,6 +1334,13 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             vel = _scale(vel, ldf)
             omg = _scale((bw_ref[3 * bi + 0], bw_ref[3 * bi + 1],
                           bw_ref[3 * bi + 2]), adf)
+            kd_a = float(bc.get("drag_k", 0.0))
+            km_a = float(bc.get("magnus_k", 0.0))
+            if kd_a > 0.0:
+                vel = _sub(vel, _scale(vel, dt_s * kd_a
+                                       * jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
+            if km_a > 0.0:
+                vel = _add(vel, _scale(_cross(omg, vel), dt_s * km_a))
 
             def resolve_static(vel, omg, dist, n, e, mu, rb_=rb_, kap=kap):
                 # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
@@ -1640,6 +1655,9 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     # PhysX velocity damping factors per substep (see simulator XLA path)
     lin_damp_f = max(0.0, 1.0 - float(ball_cfg.get("lin_damp", 0.0)) * dt_s)
     ang_damp_f = max(0.0, 1.0 - float(ball_cfg.get("ang_damp", 0.5)) * dt_s)
+    # opt-in aerodynamics (0 = off, terms prune at trace time)
+    kd_aero = float(ball_cfg.get("drag_k", 0.0))
+    km_aero = float(ball_cfg.get("magnus_k", 0.0))
     # spin-friction coupling kappa = m r^2 / I (ops.contacts
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
@@ -1934,6 +1952,11 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                blv2_ref[2] + gz * dt_s)
         vel = _scale(vel, lin_damp_f)
         omg = _scale((blw_ref[0], blw_ref[1], blw_ref[2]), ang_damp_f)
+        if kd_aero > 0.0:
+            vel = _sub(vel, _scale(vel, dt_s * kd_aero
+                                   * jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
+        if km_aero > 0.0:
+            vel = _add(vel, _scale(_cross(omg, vel), dt_s * km_aero))
 
         def resolve_static(vel, omg, dist, n, e, mu):
             # spin-aware (ops.contacts.resolve_sphere_impulse_spin)

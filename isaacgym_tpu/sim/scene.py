@@ -55,6 +55,12 @@ class ActorSpec:
     #: them, its only override is commented out). Applied to free bodies.
     linear_damping: float = 0.0
     angular_damping: float = 0.5
+    #: opt-in aerodynamics for free spheres — BEYOND the reference (PhysX has
+    #: no aero): quadratic drag a = -(0.5 rho Cd pi r^2 / m)|v| v and Magnus
+    #: lift a = (Cm rho pi r^3 / m)(omega x v). Physical values for the 40 mm
+    #: 2.7 g ball: Cd ~ 0.4, Cm ~ 1.0. Default 0 = off (reference parity).
+    drag_coefficient: float = 0.0
+    magnus_coefficient: float = 0.0
 
 
 @dataclass
@@ -105,6 +111,10 @@ class FreeBodySlot:
     #: PhysX per-step velocity damping (AssetOptions defaults 0.0 / 0.5)
     linear_damping: float = 0.0
     angular_damping: float = 0.5
+    #: lumped aero accelerations (0 = off): drag k_d in a=-k_d|v|v and
+    #: Magnus k_m in a=k_m (omega x v), precomputed from the coefficients
+    drag_k: float = 0.0
+    magnus_k: float = 0.0
     #: isotropic moment of inertia about the COM (from the URDF inertial tag;
     #: drives the spin-friction coupling kappa = m r^2 / I)
     inertia: float = 0.0
@@ -204,6 +214,13 @@ def compile_scene(spec: SceneSpec) -> CompiledScene:
                 max_angular_velocity=float(actor.max_angular_velocity),
                 linear_damping=float(actor.linear_damping),
                 angular_damping=float(actor.angular_damping),
+                # air density 1.204 kg/m^3; sphere area pi r^2, volume-scale r^3
+                drag_k=float(0.5 * 1.204 * actor.drag_coefficient
+                             * np.pi * float(tree.geom_size[0][0]) ** 2
+                             / float(tree.mass[0])),
+                magnus_k=float(1.204 * actor.magnus_coefficient
+                               * np.pi * float(tree.geom_size[0][0]) ** 3
+                               / float(tree.mass[0])),
                 inertia=float(tree.inertia[0][0, 0]),
             ))
         else:

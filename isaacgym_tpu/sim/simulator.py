@@ -241,6 +241,7 @@ class Simulator:
                         max_ang=ball.max_angular_velocity,
                         lin_damp=ball.linear_damping,
                         ang_damp=ball.angular_damping,
+                        drag_k=ball.drag_k, magnus_k=ball.magnus_k,
                         kappa=_ball_kappa(ball))
         # floating kernel: only static actors are constant-folded (the base
         # pose is a runtime input)
@@ -358,6 +359,7 @@ class Simulator:
                             max_ang=ball.max_angular_velocity,
                             lin_damp=ball.linear_damping,
                             ang_damp=ball.angular_damping,
+                            drag_k=ball.drag_k, magnus_k=ball.magnus_k,
                             kappa=_ball_kappa(ball))
             single_art = [dict(g, **{}) for g in art_list]
             for g in single_art:
@@ -393,6 +395,7 @@ class Simulator:
                       max_ang=fb.max_angular_velocity,
                       lin_damp=fb.linear_damping,
                       ang_damp=fb.angular_damping,
+                      drag_k=fb.drag_k, magnus_k=fb.magnus_k,
                       kappa=_ball_kappa(fb))
                  for fb in scene.free_bodies]
         self._fused_multi = PDK.build_fused_substep_multi(
@@ -718,6 +721,13 @@ class Simulator:
                 vel = vel * max(0.0, 1.0 - ld * dt_s)
             if ad > 0.0:
                 omega = omega * max(0.0, 1.0 - ad * dt_s)
+            # opt-in aerodynamics (beyond the reference; scene.py FreeBodySlot)
+            kd_aero = float(getattr(ball, "drag_k", 0.0))
+            km_aero = float(getattr(ball, "magnus_k", 0.0))
+            if kd_aero > 0.0:
+                vel = vel - dt_s * kd_aero * jnp.linalg.norm(vel) * vel
+            if km_aero > 0.0:
+                vel = vel + dt_s * km_aero * jnp.cross(omega, vel)
 
             if scene.spec.plane is not None:
                 e, mu = C.combine_material(ball.restitution, scene.spec.plane.restitution,

@@ -70,9 +70,14 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
         name="pingpong_table", tree=table, pos=tuple(sc["tablePos"]),
         fixed_base=True, restitution=sc["tableRestitution"], friction=sc["tableFriction"],
     ))
+    ball_aero = env_cfg.get("ball", {}) or {}
     actors.append(ActorSpec(
         name="pingpong_ball_2", tree=ball, pos=tuple(sc["ballStartPos"]),
         fixed_base=False, restitution=sc["ballRestitution"], friction=sc["ballFriction"],
+        # opt-in aero extension (ball.dragCoefficient / magnusCoefficient,
+        # default 0 = reference parity; PhysX has no aerodynamics)
+        drag_coefficient=float(ball_aero.get("dragCoefficient", 0.0)),
+        magnus_coefficient=float(ball_aero.get("magnusCoefficient", 0.0)),
     ))
     plane_cfg = env_cfg.get("plane", {})
     # heightfield terrain from an npy path (reference plane.terrain key +

@@ -552,3 +552,52 @@ def test_fused_multi_ball_ball_collision_parity():
     # and the balls rebounded (e_pair = 1.3): vx signs flipped
     assert float(sf.root[0, 2, 7]) > 1.0
     assert float(sf.root[0, 3, 7]) < -1.0
+
+
+def test_fused_substep_aero_parity():
+    """Aerodynamics (drag + Magnus) compile into the fused kernel and match
+    the XLA path; with Cd=0.4 the incoming ball is measurably slower than
+    the aero-off scene."""
+    import sys
+    sys.path.insert(0, ".")
+    from isaacgym_tpu.sim.scene import ActorSpec, PlaneParams, SceneSpec, compile_scene
+    from isaacgym_tpu.sim.simulator import Simulator
+    from tests.test_simulator import _ball_tree, _g1_tree, _table_tree
+
+    kp = np.asarray([20.0, 20, 20, 20, 20, 5, 5], np.float32)
+    scene = compile_scene(SceneSpec(
+        actors=[
+            ActorSpec("humanoid1", _g1_tree(), pos=(0, 0, 1.0), fixed_base=True,
+                      restitution=0.6, friction=0.5,
+                      stiffness=kp, damping=kp / 40.0),
+            ActorSpec("pingpong_table", _table_tree(), pos=(1.75, 0, 0),
+                      fixed_base=True, restitution=1.5, friction=0.2),
+            ActorSpec("pingpong_ball_2", _ball_tree(), pos=(2.9, -0.28, 1.02),
+                      fixed_base=False, restitution=1.5, friction=0.2,
+                      drag_coefficient=0.4, magnus_coefficient=1.0),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    ))
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused is not None
+    assert sim.scene.free_bodies[0].drag_k > 0.1
+
+    B = 128
+    state0 = sim.initial_state(B)
+    r = state0.root.at[:, 2, 7:10].set(jnp.asarray([-5.5, 0.2, 1.5]))
+    r = r.at[:, 2, 10:13].set(jnp.asarray([0.0, 40.0, 0.0]))
+    state0 = state0._replace(root=r)
+    tgt = jnp.zeros((B, 7)); eff = jnp.zeros((B, 7))
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(20):
+        sf = fused(sf, tgt, eff)
+        sx = xla(sx, tgt, eff)
+    np.testing.assert_allclose(np.asarray(sf.root[:, 2, 0:3]),
+                               np.asarray(sx.root[:, 2, 0:3]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sf.root[:, 2, 7:13]),
+                               np.asarray(sx.root[:, 2, 7:13]), atol=2e-2)
+    # drag slowed the flight vs the aero-off expectation |vx| < 5.5
+    assert abs(float(sf.root[0, 2, 7])) < 5.4

@@ -411,3 +411,52 @@ def test_ball_ball_collision_closed_form():
     va = float(state.root[0, 0, 7]); vb = float(state.root[0, 1, 7])
     np.testing.assert_allclose(va, 3.0, atol=1e-3)   # 1.5 x 2.0, rebounding +x
     np.testing.assert_allclose(vb, -3.0, atol=1e-3)
+
+
+def test_ball_aerodynamics_drag_and_magnus():
+    """Opt-in aero extension (beyond the reference): quadratic drag slows
+    flight by a = -k_d|v|v with k_d = 0.5 rho Cd pi r^2/m, and Magnus lift
+    curves a topspin ball DOWNWARD (omega=+y, v=+x -> omega x v = -z)."""
+    ball = _ball_tree()
+
+    def scene(cd, cm):
+        return compile_scene(SceneSpec(
+            actors=[ActorSpec("ball", ball, pos=(0, 0, 50.0), fixed_base=False,
+                              restitution=1.5, friction=0.2,
+                              angular_damping=0.0,
+                              drag_coefficient=cd, magnus_coefficient=cm)],
+            plane=PlaneParams(), dt=1 / 120, substeps=2,
+        ))
+
+    # drag: closed-form k_d check over a short horizontal flight
+    sim = Simulator(scene(0.4, 0.0))
+    kd = sim.scene.free_bodies[0].drag_k
+    np.testing.assert_allclose(
+        kd, 0.5 * 1.204 * 0.4 * np.pi * 0.02 ** 2 / 0.0027, rtol=1e-5)
+    state = sim.initial_state(2)
+    state = state._replace(root=state.root.at[:, 0, 7:10].set(
+        jnp.asarray([8.0, 0.0, 0.0])))
+    zeros = jnp.zeros((2, 0))
+    state = _run(sim, state, zeros, zeros, 12)  # 0.1 s
+    vx = float(state.root[0, 0, 7])
+    # dv/dt = -kd v^2 -> v(t) = v0/(1+kd v0 t)
+    np.testing.assert_allclose(vx, 8.0 / (1 + kd * 8.0 * 0.1), rtol=2e-3)
+
+    # magnus: topspin +y on a +x flight pushes the ball down vs no-spin
+    sim2 = Simulator(scene(0.0, 1.0))
+    st = sim2.initial_state(2)
+    r = st.root.at[:, 0, 7:10].set(jnp.asarray([8.0, 0.0, 0.0]))
+    r = r.at[:, 0, 10:13].set(jnp.asarray([0.0, 60.0, 0.0]))
+    st = st._replace(root=r)
+    st = _run(sim2, st, zeros, zeros, 24)  # 0.2 s
+    st0 = sim2.initial_state(2)
+    st0 = st0._replace(root=st0.root.at[:, 0, 7:10].set(jnp.asarray([8.0, 0.0, 0.0])))
+    st0 = _run(sim2, st0, zeros, zeros, 24)
+    drop_spin = 50.0 - float(st.root[0, 0, 2])
+    drop_nospin = 50.0 - float(st0.root[0, 0, 2])
+    assert drop_spin > drop_nospin + 0.01, (drop_spin, drop_nospin)
+
+    # default (no coefficients) keeps parity: ballistic closed form intact
+    sim3 = Simulator(scene(0.0, 0.0))
+    assert sim3.scene.free_bodies[0].drag_k == 0.0
+    assert sim3.scene.free_bodies[0].magnus_k == 0.0
