@@ -190,3 +190,33 @@ def test_train_cli_episode_stats_accumulate_across_log_stride(tmp_path):
     assert row10, rows
     assert row10[0]["episode_count"] > 0
     assert row10[0]["episode_length_mean"] == pytest.approx(8.0)
+
+
+def test_pbt_cli_exploit_explore(tmp_path):
+    """PBT driver smoke (tools/pbt.py): population trains round-robin on one
+    compiled epoch; the bottom member exploits a top member's state and
+    explores its lr each round; history + best checkpoint written."""
+    import json, shutil, subprocess, sys
+    shutil.rmtree("runs/pytest_pbt", ignore_errors=True)
+    env_vars = dict(os.environ)
+    env_vars["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "tools/pbt.py",
+         "task=HumanoidPingpongTiltNoEarlyStopG1", "experiment=pytest_pbt",
+         "population=3", "rounds=2", "epochs_per_round=2",
+         "num_envs=2", "device=cpu", "seed=3",
+         "train.params.network.mlp.units=[8,8]",
+         "train.params.config.minibatch_size=8",
+         "train.params.config.horizon_length=4",
+         "task.env.episodeLength=6"],
+        capture_output=True, text=True, timeout=500, cwd=".", env=env_vars)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in
+            open("runs/pytest_pbt/pbt_history.jsonl")]
+    assert len(rows) == 2
+    assert len(rows[0]["objectives"]) == 3
+    # each round one member exploited; its lr explored off the donor's
+    assert all(len(r["exploited"]) == 1 for r in rows)
+    assert os.path.isdir("runs/pytest_pbt/ckpt_best")
+    best = json.loads(out.stdout.strip().splitlines()[-1])
+    assert best["best_objective"] >= max(rows[-1]["objectives"]) - 1e6
