@@ -82,6 +82,15 @@ class TpuVecTask:
         self._pd_action_offset = jnp.asarray(0.5 * (hi + lo), dtype=jnp.float32)
         self._pd_action_scale = jnp.asarray(0.5 * (hi - lo), dtype=jnp.float32)
 
+        # camera sensors (reference enableCameraSensors yaml key; the
+        # IsaacGym product's create_camera_sensor/get_camera_image): opt-in
+        # raycast cameras over the analytic geoms (sensors/camera.py)
+        self.cameras = []
+        if str(env_cfg.get("enableCameraSensors", "false")).lower() in ("1", "true"):
+            from isaacgym_tpu.sensors import Camera
+            for cam_cfg in (env_cfg.get("cameras") or [{}]):
+                self.cameras.append(Camera(self.scene, **cam_cfg))
+
         # body-state subset: tasks declare which env-level bodies obs/reward
         # touch; computing just those avoids full 40-body FK reporting
         ids = self.rb_body_ids()
@@ -138,6 +147,10 @@ class TpuVecTask:
     def step(self, state: EnvState, actions) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
         """One vectorized env step: (state', obs, reward, done, info)."""
         return self._step_fn(state, actions)
+
+    def render_camera(self, state: EnvState, index: int = 0):
+        """Render camera ``index`` over every env: dict(depth, rgb, seg)."""
+        return self.cameras[index].render(self.sim, state.sim)
 
     @property
     def step_fn(self):

@@ -58,6 +58,15 @@ def acquire_force_sensor_tensor(sim: Simulator, state: SimState, body_indices) -
     return jnp.concatenate([forces, jnp.zeros_like(forces)], axis=-1)
 
 
+def acquire_camera_image_tensor(camera, sim: Simulator, state: SimState,
+                                image_type: str = "depth"):
+    """Render a camera sensor over the batched state (reference
+    ``gym.get_camera_image`` IMAGE_DEPTH / IMAGE_COLOR / IMAGE_SEGMENTATION;
+    cameras exist behind the task yamls' ``enableCameraSensors`` key).
+    image_type: "depth" (B,H,W) | "rgb" (B,H,W,3) | "seg" (B,H,W)."""
+    return camera.render(sim, state)[image_type]
+
+
 def refresh_all(state: SimState) -> SimState:
     """``refresh_*_tensor`` family: the functional state is always current."""
     return state
