@@ -62,17 +62,19 @@ def _build_geom_table(scene) -> _GeomTable:
 
 
 def _ray_sphere(o, d, center, radius):
-    """(P,3) rays vs one sphere -> (P,) hit distance or _BIG."""
+    """(P,3) rays vs one sphere -> (t (P,), world normal (P,3))."""
     oc = o - center
     b = jnp.sum(oc * d, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = b * b - c
     t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-    return jnp.where((disc >= 0.0) & (t > 1e-4), t, _BIG)
+    t = jnp.where((disc >= 0.0) & (t > 1e-4), t, _BIG)
+    n = (oc + t[:, None] * d) / radius
+    return t, n
 
 
 def _ray_box(o, d, pos, quat, half):
-    """Slab test in the box frame."""
+    """Slab test in the box frame -> (t, world face normal)."""
     qi = rot.quat_conjugate(quat)
     ol = rot.quat_rotate(qi, o - pos)
     dl = rot.quat_rotate(qi, d)
@@ -82,7 +84,12 @@ def _ray_box(o, d, pos, quat, half):
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
     tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin > 1e-4)
-    return jnp.where(hit, tmin, _BIG)
+    t = jnp.where(hit, tmin, _BIG)
+    h_local = ol + tmin[:, None] * dl
+    rel = jnp.abs(h_local) / jnp.asarray(half)[None]
+    face = jnp.argmax(rel, axis=-1)
+    n_local = (jax.nn.one_hot(face, 3) * jnp.sign(h_local))
+    return t, rot.quat_rotate(quat, n_local)
 
 
 def _ray_cylinder(o, d, pos, quat, radius, half_len):
@@ -109,7 +116,15 @@ def _ray_cylinder(o, d, pos, quat, radius, half_len):
         y = ol[..., 1] + t * dl[..., 1]
         ok = (t > 1e-4) & (x * x + y * y <= radius * radius)
         t_caps.append(jnp.where(ok, t, _BIG))
-    return jnp.minimum(t_side, jnp.minimum(*t_caps))
+    t_cap = jnp.minimum(*t_caps)
+    t = jnp.minimum(t_side, t_cap)
+    h = ol + t[:, None] * dl
+    n_side = jnp.stack([h[:, 0] / radius, h[:, 1] / radius,
+                        jnp.zeros_like(h[:, 0])], axis=-1)
+    n_cap = jnp.stack([jnp.zeros_like(h[:, 0]), jnp.zeros_like(h[:, 0]),
+                       jnp.sign(h[:, 2])], axis=-1)
+    n_local = jnp.where((t_side <= t_cap)[:, None], n_side, n_cap)
+    return t, rot.quat_rotate(quat, n_local)
 
 
 def _look_at_rays(pos, target, up, fov_deg, width, height):
@@ -165,7 +180,7 @@ class Camera:
         o = jnp.asarray(self.origin)
         d = jnp.asarray(self.rays)                      # (P, 3)
         P = d.shape[0]
-        ts, segs, normals = [], [], []
+        ts, ns = [], []
 
         for gi in range(len(T.kind)):
             body = rb_states[int(T.body[gi])]
@@ -174,37 +189,36 @@ class Camera:
             kind = int(T.kind[gi])
             size = T.size[gi]
             if kind == U.GEOM_SPHERE:
-                t = _ray_sphere(o, d, gpos, float(size[0]))
+                t, n = _ray_sphere(o, d, gpos, float(size[0]))
             elif kind == U.GEOM_BOX:
-                t = _ray_box(o, d, gpos, gquat, jnp.asarray(size))
+                t, n = _ray_box(o, d, gpos, gquat, jnp.asarray(size))
             else:
-                t = _ray_cylinder(o, d, gpos, gquat, float(size[0]), float(size[1]))
-            ts.append(t)
+                t, n = _ray_cylinder(o, d, gpos, gquat, float(size[0]), float(size[1]))
+            ts.append(t); ns.append(n)
         if self.has_plane:
             dz = jnp.where(jnp.abs(d[:, 2]) < 1e-9, -1e-9, d[:, 2])
             t_pl = -o[2] / dz
             ts.append(jnp.where(t_pl > 1e-4, t_pl, _BIG))
+            ns.append(jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), d.shape))
 
         tmat = jnp.stack(ts, axis=0)                    # (G[+1], P)
         best = jnp.argmin(tmat, axis=0)
         depth = jnp.min(tmat, axis=0)
         hit = depth < _BIG * 0.5
+        nrm = jnp.take_along_axis(jnp.stack(ns, axis=0),
+                                  best[None, :, None], axis=0)[0]  # (P, 3)
 
         seg_ids = list(T.actor) + ([-2] if self.has_plane else [])
         seg = jnp.where(hit, jnp.asarray(np.asarray(seg_ids))[best], -1)
 
-        # shading: finite-difference-free normals via nearest-geom re-eval is
-        # overkill for a sensor; use depth-gradient-lit flat colors instead:
-        # lambert ~ alignment of the hit point's radial direction with the
-        # light for spheres and a constant for flats — approximated by a
-        # simple height-modulated shade that keeps the image informative.
+        # lambert shading from the analytic surface normals
         colors = np.concatenate(
             [_PALETTE[T.actor % len(_PALETTE)],
              _GROUND[None]] if self.has_plane else
             [_PALETTE[T.actor % len(_PALETTE)]], axis=0)  # (G[+1], 3)
         base = jnp.asarray(colors)[best]                 # (P, 3)
-        hitp = o[None] + depth[:, None] * d              # (P, 3)
-        shade = 0.65 + 0.35 * jnp.clip(hitp[:, 2] / 2.0, 0.0, 1.0)
+        diff = jnp.clip(jnp.sum(nrm * jnp.asarray(_LIGHT), axis=-1), 0.0, 1.0)
+        shade = 0.35 + 0.65 * diff
         rgb = jnp.where(hit[:, None], base * shade[:, None], jnp.asarray(_SKY))
 
         H, W = self.height, self.width
