@@ -15,8 +15,13 @@ update returning a new state. Layout contracts match the reference exactly:
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from dataclasses import dataclass
+from typing import Dict, List, Union
 
+import jax.numpy as jnp
+import numpy as np
+
+from isaacgym_tpu.sim.scene import CompiledScene, SceneSpec
 from isaacgym_tpu.sim.simulator import SimState, Simulator
 
 
@@ -121,3 +126,199 @@ def set_actor_root_state_tensor(state: SimState, values) -> SimState:
     """Non-indexed root-state write: replace ALL actors' roots in all envs
     (reference ``set_actor_root_state_tensor``, 3 call sites)."""
     return state._replace(root=jnp.broadcast_to(jnp.asarray(values), state.root.shape))
+
+
+# ---------------------------------------------------------------------------
+# Handle/introspection surface (reference gymapi handles + DOMAIN_SIM indices;
+# call sites e.g. /root/reference/tasks/humanoid_interos_edit_pingpong_only_3_actor.py:
+# 520-626 get_actor_index/get_rigid_handle,
+# /root/reference/tasks/joint_monkey2_new.py:294-316 dof/shape props).
+# Every env shares one compiled layout, so "env handle + actor handle" folds
+# to the per-env actor index; DOMAIN_SIM flattening is the caller's
+# ``env_id * num_actors + actor_index``.
+# ---------------------------------------------------------------------------
+
+def _scene_of(obj: Union[Simulator, CompiledScene]) -> CompiledScene:
+    return obj.scene if isinstance(obj, Simulator) else obj
+
+
+def get_actor_index(sim: Union[Simulator, CompiledScene], actor: Union[str, int]) -> int:
+    """Per-env actor index by name (reference ``get_actor_index(env, h,
+    DOMAIN_ENV)``; DOMAIN_SIM = ``env_id * num_actors + this``)."""
+    scene = _scene_of(sim)
+    return actor if isinstance(actor, int) else scene.actor_names.index(actor)
+
+
+def get_actor_rigid_body_names(sim, actor) -> List[str]:
+    scene = _scene_of(sim)
+    ai = get_actor_index(scene, actor)
+    prefix = scene.actor_names[ai] + "/"
+    return [n[len(prefix):] for n in scene.body_names if n.startswith(prefix)]
+
+
+def get_rigid_handle(sim, actor, body_name: str) -> int:
+    """Env-level body index for ``actor/body_name`` (reference
+    ``get_rigid_handle`` / ``find_actor_rigid_body_handle`` — both resolve a
+    body within one actor; here the handle IS the row into the (B, num_bodies,
+    13) rigid-body state / net-contact-force arrays)."""
+    scene = _scene_of(sim)
+    ai = get_actor_index(scene, actor)
+    return scene.body_names.index(scene.actor_names[ai] + "/" + body_name)
+
+
+find_actor_rigid_body_handle = get_rigid_handle
+find_actor_rigid_body_index = get_rigid_handle
+
+
+def _dof_slice(scene: CompiledScene, actor) -> slice:
+    ai = get_actor_index(scene, actor)
+    for slot in scene.articulations:
+        if slot.actor_index == ai:
+            return slice(slot.dof_start, slot.dof_end)
+    raise ValueError(f"actor {actor!r} has no DOFs")
+
+
+def set_actor_dof_states(state: SimState, sim, actor, dof_pos, dof_vel,
+                         env_ids=None) -> SimState:
+    """Per-actor DOF write (reference ``set_actor_dof_states(env, handle,
+    states, STATE_ALL)``, joint_monkey2_new.py:471-472): only the actor's DOF
+    slice is touched; other actors' DOFs are preserved."""
+    sl = _dof_slice(_scene_of(sim), actor)
+    if env_ids is None:
+        return state._replace(
+            dof_pos=state.dof_pos.at[:, sl].set(dof_pos),
+            dof_vel=state.dof_vel.at[:, sl].set(dof_vel),
+        )
+    ids = jnp.asarray(env_ids)
+    return state._replace(
+        dof_pos=state.dof_pos.at[ids, sl].set(dof_pos),
+        dof_vel=state.dof_vel.at[ids, sl].set(dof_vel),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rigid-shape / DOF property getters + setters.
+#
+# The reference mutates these through handles inside ``_create_envs`` (setup
+# time, before the first ``simulate``; e.g. `...only_3_actor.py:560-626`
+# restitution/friction, `joint_monkey2_new.py:294-316` PD gains) and through
+# the DR engine at reset. Here the same split is explicit:
+#   * setup time  -> mutate the ``ActorSpec`` in the (pre-compile) SceneSpec;
+#   * runtime     -> per-env scale factors on the DRParams channel that the
+#                    jitted step already consumes (env/randomize.py).
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RigidShapeProperties:
+    """Reference ``gymapi.RigidShapeProperties`` subset the tasks touch."""
+    friction: float
+    restitution: float
+
+
+def get_actor_rigid_shape_properties(sim, actor) -> List[RigidShapeProperties]:
+    """One entry per collision geom of the actor (reference returns a list of
+    shape-property structs of the same length)."""
+    scene = _scene_of(sim)
+    ai = get_actor_index(scene, actor)
+    art = {slot.actor_index: i for i, slot in enumerate(scene.articulations)}
+    props: List[RigidShapeProperties] = []
+    if ai in art:
+        for g in scene.art_geoms:
+            if g.art_index == art[ai]:
+                props.append(RigidShapeProperties(g.friction, g.restitution))
+    for g in scene.static_geoms:
+        if g.actor_index == ai:
+            props.append(RigidShapeProperties(g.friction, g.restitution))
+    for fb in scene.free_bodies:
+        if fb.actor_index == ai:
+            props.append(RigidShapeProperties(fb.friction, fb.restitution))
+    return props
+
+
+def set_actor_rigid_shape_properties(spec: SceneSpec, actor,
+                                     props: List[RigidShapeProperties]) -> None:
+    """Setup-time setter on the pre-compile ``SceneSpec`` (the reference's
+    call sites all run inside ``_create_envs`` before the sim starts). The
+    actor-wide material is uniform across its geoms, so the first entry wins
+    (the reference sets every entry to the same value at each call site)."""
+    names = [a.name for a in spec.actors]
+    ai = actor if isinstance(actor, int) else names.index(actor)
+    spec.actors[ai].friction = float(props[0].friction)
+    spec.actors[ai].restitution = float(props[0].restitution)
+
+
+def get_actor_dof_properties(sim, actor) -> Dict[str, np.ndarray]:
+    """Reference ``get_actor_dof_properties`` structured array, as a dict of
+    per-DOF arrays with the gymapi field names."""
+    scene = _scene_of(sim)
+    ai = get_actor_index(scene, actor)
+    for slot in scene.articulations:
+        if slot.actor_index == ai:
+            tree = slot.model.tree
+            n = tree.n_dof
+            return {
+                "driveMode": np.full(n, slot.drive_mode, np.int32),
+                "stiffness": np.asarray(slot.stiffness, np.float32).copy(),
+                "damping": np.asarray(slot.damping, np.float32).copy(),
+                "lower": np.asarray(tree.lower, np.float32).copy(),
+                "upper": np.asarray(tree.upper, np.float32).copy(),
+                "effort": np.asarray(tree.effort, np.float32).copy(),
+                "velocity": np.asarray(tree.max_velocity, np.float32).copy(),
+                "armature": np.asarray(slot.model.armature[-n:], np.float32).copy(),
+            }
+    raise ValueError(f"actor {actor!r} has no DOFs")
+
+
+def set_actor_dof_properties(spec: SceneSpec, actor, props: Dict) -> None:
+    """Setup-time setter (reference ``set_actor_dof_properties`` in the
+    create loops): installs PD gains / drive mode on the ``ActorSpec``."""
+    names = [a.name for a in spec.actors]
+    ai = actor if isinstance(actor, int) else names.index(actor)
+    a = spec.actors[ai]
+    if "stiffness" in props:
+        a.stiffness = np.asarray(props["stiffness"], np.float32)
+    if "damping" in props:
+        a.damping = np.asarray(props["damping"], np.float32)
+    if "driveMode" in props:
+        a.drive_mode = int(np.asarray(props["driveMode"]).reshape(-1)[0])
+
+
+def runtime_shape_property_scales(sim: Simulator, dr, actor,
+                                  friction=None, restitution=None):
+    """Runtime per-env material change for an articulated actor, expressed on
+    the DR channel the jitted step consumes (``dr.friction_scale`` /
+    ``dr.restitution_scale`` multiply the actor's compiled base values).
+    ``friction``/``restitution`` are scalars or (B,) arrays of ABSOLUTE
+    values; returns the updated DRParams pytree."""
+    base = get_actor_rigid_shape_properties(sim, actor)[0]
+    if friction is not None:
+        dr = dr._replace(friction_scale=jnp.broadcast_to(
+            jnp.asarray(friction, jnp.float32) / max(base.friction, 1e-9),
+            dr.friction_scale.shape))
+    if restitution is not None:
+        dr = dr._replace(restitution_scale=jnp.broadcast_to(
+            jnp.asarray(restitution, jnp.float32) / max(base.restitution, 1e-9),
+            dr.restitution_scale.shape))
+    return dr
+
+
+def runtime_dof_property_scales(sim: Simulator, dr, actor,
+                                stiffness=None, damping=None):
+    """Runtime per-env PD-gain change via the DR channel (``dr.kp_scale`` /
+    ``dr.kd_scale`` multiply the compiled slot gains). Values are ABSOLUTE
+    per-DOF gains, scalar or (B, n_dof); zero base gains stay zero."""
+    scene = sim.scene
+    sl = _dof_slice(scene, actor)
+    ai = get_actor_index(scene, actor)
+    slot = next(s for s in scene.articulations if s.actor_index == ai)
+    if stiffness is not None:
+        base = np.where(slot.stiffness > 0, slot.stiffness, 1.0)
+        scale = jnp.asarray(stiffness, jnp.float32) / base
+        dr = dr._replace(kp_scale=dr.kp_scale.at[:, sl].set(
+            jnp.broadcast_to(scale, dr.kp_scale[:, sl].shape)))
+    if damping is not None:
+        base = np.where(slot.damping > 0, slot.damping, 1.0)
+        scale = jnp.asarray(damping, jnp.float32) / base
+        dr = dr._replace(kd_scale=dr.kd_scale.at[:, sl].set(
+            jnp.broadcast_to(scale, dr.kd_scale[:, sl].shape)))
+    return dr

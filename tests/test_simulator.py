@@ -460,3 +460,77 @@ def test_ball_aerodynamics_drag_and_magnus():
     sim3 = Simulator(scene(0.0, 0.0))
     assert sim3.scene.free_bodies[0].drag_k == 0.0
     assert sim3.scene.free_bodies[0].magnus_k == 0.0
+
+
+def test_handle_and_property_surface():
+    """N2/N4 parity: handle introspection, shape/DOF property get/set, and
+    per-actor DOF writes (reference get_actor_index / get_rigid_handle /
+    get/set_actor_rigid_shape_properties / get/set_actor_dof_properties /
+    set_actor_dof_states, e.g. joint_monkey2_new.py:294-316,471-472 and
+    ...only_3_actor.py:519-626)."""
+    from isaacgym_tpu.sim import tensor_api as T
+    spec = _pingpong_scene()
+    scene = compile_scene(spec)
+    sim = Simulator(scene)
+
+    # handles
+    assert T.get_actor_index(sim, "pingpong_ball_2") == 2
+    assert T.get_actor_index(sim, "humanoid1") == 0
+    names = T.get_actor_rigid_body_names(sim, "humanoid1")
+    assert len(names) == 40 and names[0] == scene.body_names[0].split("/", 1)[1]
+    paddle = T.get_rigid_handle(sim, "humanoid1", names[-1])
+    assert paddle == 39  # paddle is body 39 of the 40-body G1 (SURVEY §1-L1)
+    assert T.find_actor_rigid_body_handle(sim, "pingpong_ball_2",
+                                          T.get_actor_rigid_body_names(sim, 2)[0]) == 41
+
+    # shape properties: read matches the spec, setup-time write round-trips
+    props = T.get_actor_rigid_shape_properties(sim, "pingpong_table")
+    assert len(props) >= 1 and props[0].restitution == 1.5
+    ball_props = T.get_actor_rigid_shape_properties(sim, "pingpong_ball_2")
+    assert ball_props[0].friction == 0.2
+    for p in props:
+        p.restitution = 0.9
+        p.friction = 0.7
+    T.set_actor_rigid_shape_properties(spec, "pingpong_table", props)
+    scene2 = compile_scene(spec)
+    p2 = T.get_actor_rigid_shape_properties(scene2, "pingpong_table")
+    assert p2[0].restitution == 0.9 and p2[0].friction == 0.7
+
+    # dof properties
+    dp = T.get_actor_dof_properties(sim, "humanoid1")
+    np.testing.assert_allclose(dp["stiffness"], [20, 20, 20, 20, 20, 5, 5])
+    np.testing.assert_allclose(dp["damping"], dp["stiffness"] / 40.0)
+    assert dp["lower"].shape == (7,) and np.all(dp["upper"] >= dp["lower"])
+    dp["stiffness"] = dp["stiffness"] * 2.0
+    T.set_actor_dof_properties(spec, "humanoid1", dp)
+    scene3 = compile_scene(spec)
+    np.testing.assert_allclose(
+        T.get_actor_dof_properties(scene3, "humanoid1")["stiffness"],
+        [40, 40, 40, 40, 40, 10, 10])
+
+    # per-actor DOF state write leaves other envs/actors untouched
+    B = 2
+    state = sim.initial_state(B)
+    q = jnp.full(7, 0.3)
+    state2 = T.set_actor_dof_states(state, sim, "humanoid1", q, jnp.zeros(7),
+                                    env_ids=jnp.asarray([1]))
+    np.testing.assert_allclose(np.asarray(state2.dof_pos[1]), 0.3)
+    np.testing.assert_allclose(np.asarray(state2.dof_pos[0]),
+                               np.asarray(state.dof_pos[0]))
+
+    # runtime property scales ride the DR channel
+    from isaacgym_tpu.env.randomize import identity_params
+    import jax as _jax
+    dr = _jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                       identity_params(7))
+    dr2 = T.runtime_shape_property_scales(sim, dr, "humanoid1",
+                                          friction=1.0, restitution=0.3)
+    np.testing.assert_allclose(np.asarray(dr2.friction_scale), 1.0 / 0.5)
+    np.testing.assert_allclose(np.asarray(dr2.restitution_scale), 0.3 / 0.6)
+    dr3 = T.runtime_dof_property_scales(sim, dr, "humanoid1",
+                                        stiffness=np.full(7, 10.0))
+    np.testing.assert_allclose(np.asarray(dr3.kp_scale[0]),
+                               10.0 / np.asarray([20, 20, 20, 20, 20, 5, 5]))
+    # the scaled step still runs
+    state3 = sim.step_dr(state, jnp.zeros((B, 7)), jnp.zeros((B, 7)), dr3)
+    assert np.all(np.isfinite(np.asarray(state3.dof_pos)))
