@@ -113,7 +113,9 @@ def _shade(color, normal):
 def render_frames(body_states: np.ndarray, geoms: np.ndarray,
                   markers: Optional[np.ndarray] = None,
                   size: Tuple[int, int] = (960, 540),
-                  eye=(2.8, -2.6, 1.9), target=(0.0, 0.0, 0.8)):
+                  eye=(2.8, -2.6, 1.9), target=(0.0, 0.0, 0.8),
+                  lines: Optional[np.ndarray] = None,
+                  line_colors: Optional[np.ndarray] = None):
     """Yield BGR uint8 frames for body_states (T, nb, 13) + geom table."""
     import cv2
 
@@ -203,6 +205,18 @@ def render_frames(body_states: np.ndarray, geoms: np.ndarray,
                 if zz > 0.05:
                     cv2.drawMarker(frame, (int(px), int(py)), (30, 30, 200),
                                    cv2.MARKER_CROSS, 8, 2)
+        if lines is not None and t < len(lines):
+            # NaN rows are padding (ragged per-frame counts)
+            for i, seg in enumerate(np.asarray(lines[t], np.float64)):
+                if not np.isfinite(seg).all():
+                    continue
+                (p, z) = cam.project(seg)
+                if (z > 0.05).all():
+                    rgb = (line_colors[t, i] if line_colors is not None
+                           else np.asarray([1.0, 0.0, 0.0]))
+                    bgr = tuple(int(255 * c) for c in rgb[::-1])
+                    cv2.line(frame, tuple(p[0].astype(int)),
+                             tuple(p[1].astype(int)), bgr, 2, cv2.LINE_AA)
         yield frame
 
 
@@ -226,7 +240,9 @@ def render_trajectory(npz_path: str, out_path: str, env: int = 0,
     if markers is not None and markers.ndim == 4:
         markers = markers[:, env]
 
-    frames = render_frames(bs, geoms, markers, size=size, eye=eye, target=target)
+    frames = render_frames(bs, geoms, markers, size=size, eye=eye, target=target,
+                           lines=data.get("lines"),
+                           line_colors=data.get("line_colors"))
     if out_path.endswith(".gif"):
         from PIL import Image
         imgs = [Image.fromarray(f[:, :, ::-1]) for f in frames]

@@ -25,17 +25,46 @@ class TrajectoryRecorder:
         self.frames: List[np.ndarray] = []
         self.markers: List[np.ndarray] = []
         self.extras: Dict[str, List[np.ndarray]] = {}
+        # debug-line state (reference gym.add_lines/clear_lines,
+        # /root/reference/tasks/humanoid_interos_edit_pingpong_only_3_actor.py:661-668)
+        self._live_lines: List[np.ndarray] = []
+        self._live_line_colors: List[np.ndarray] = []
+        self.line_frames: List[np.ndarray] = []
+        self.line_color_frames: List[np.ndarray] = []
         # geom table for the offline renderer (viewer.render)
         self.geoms: Optional[np.ndarray] = None
         if scene is not None:
             from isaacgym_tpu.viewer.render import scene_geom_table
             self.geoms = scene_geom_table(scene)
 
+    def add_lines(self, verts, colors=None) -> None:
+        """Queue debug line segments (reference ``gym.add_lines(viewer, env,
+        n, verts, colors)``): ``verts`` is (n, 2, 3) [or (n, 6)] world-space
+        segment endpoints; ``colors`` is (n, 3) RGB in [0, 1] (default red).
+        Lines persist across frames until :meth:`clear_lines`."""
+        v = np.asarray(verts, np.float32).reshape(-1, 2, 3)
+        c = (np.broadcast_to(np.asarray([1.0, 0.0, 0.0], np.float32), (len(v), 3))
+             if colors is None else
+             np.broadcast_to(np.asarray(colors, np.float32).reshape(-1, 3), (len(v), 3)))
+        self._live_lines.append(v)
+        self._live_line_colors.append(np.ascontiguousarray(c))
+
+    def clear_lines(self) -> None:
+        """Reference ``gym.clear_lines(viewer)``."""
+        self._live_lines = []
+        self._live_line_colors = []
+
     def record(self, rb_states, markers: Optional[np.ndarray] = None, **extras) -> None:
         """rb_states: (B, num_bodies, 13) device or host array."""
         self.frames.append(np.asarray(rb_states[: self.max_envs]))
         if markers is not None:
             self.markers.append(np.asarray(markers))
+        self.line_frames.append(
+            np.concatenate(self._live_lines) if self._live_lines
+            else np.zeros((0, 2, 3), np.float32))
+        self.line_color_frames.append(
+            np.concatenate(self._live_line_colors) if self._live_line_colors
+            else np.zeros((0, 3), np.float32))
         for k, v in extras.items():
             self.extras.setdefault(k, []).append(np.asarray(v[: self.max_envs]))
 
@@ -51,6 +80,17 @@ class TrajectoryRecorder:
             data["geoms"] = self.geoms
         if self.markers:
             data["markers"] = np.stack(self.markers)
+        if any(len(f) for f in self.line_frames):
+            # ragged per-frame segment counts -> NaN-padded (T, n_max, 2, 3)
+            n_max = max(len(f) for f in self.line_frames)
+            T = len(self.line_frames)
+            lines = np.full((T, n_max, 2, 3), np.nan, np.float32)
+            line_colors = np.zeros((T, n_max, 3), np.float32)
+            for t, (f, c) in enumerate(zip(self.line_frames, self.line_color_frames)):
+                lines[t, : len(f)] = f
+                line_colors[t, : len(c)] = c
+            data["lines"] = lines
+            data["line_colors"] = line_colors
         for k, v in self.extras.items():
             data[f"extra_{k}"] = np.stack(v)
         np.savez_compressed(path, **data)

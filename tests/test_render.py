@@ -88,3 +88,40 @@ def test_live_viewer_endpoints(traj_npz):
         assert b"isaacgym_tpu viewer" in page
     finally:
         httpd.shutdown()
+
+
+def test_debug_lines_roundtrip_and_render(traj_npz, tmp_path):
+    """N6 add_lines/clear_lines parity (reference gym.add_lines at
+    ...only_3_actor.py:661-668, clear_lines in the viewer loop): segments
+    persist until cleared, survive the npz roundtrip NaN-padded, and the
+    renderer draws them."""
+    from isaacgym_tpu.viewer.trajectory import TrajectoryRecorder
+    from isaacgym_tpu.viewer.render import render_frames
+
+    _, env = traj_npz
+    rec = TrajectoryRecorder(env.scene.body_names, max_envs=1, scene=env.scene)
+    bs = np.zeros((1, env.scene.num_bodies, 13), np.float32)
+    bs[..., 6] = 1.0  # identity quats
+    rec.add_lines([[[0, 0, 1], [1, 0, 1]]], colors=[[0, 1, 0]])
+    rec.record(bs)                       # frame 0: 1 segment
+    rec.add_lines(np.asarray([[0, -1, 1, 0, 1, 1]]))  # flat (n,6) form
+    rec.record(bs)                       # frame 1: 2 segments (persist)
+    rec.clear_lines()
+    rec.record(bs)                       # frame 2: none
+    p = str(tmp_path / "lines.npz")
+    rec.save(p)
+
+    data = dict(np.load(p))
+    assert data["lines"].shape == (3, 2, 2, 3)
+    assert np.isfinite(data["lines"][0, 0]).all()
+    assert np.isnan(data["lines"][0, 1]).all()      # frame-0 padding
+    assert np.isfinite(data["lines"][1]).all()       # both live in frame 1
+    assert np.isnan(data["lines"][2]).all()          # cleared
+    np.testing.assert_allclose(data["line_colors"][0, 0], [0, 1, 0])
+
+    frames = list(render_frames(data["body_states"][:, 0], data["geoms"],
+                                size=(160, 90), lines=data["lines"],
+                                line_colors=data["line_colors"]))
+    # the green segment must have painted pixels frame 0 vs the cleared frame
+    assert frames[0].shape == (90, 160, 3)
+    assert (frames[0] != frames[2]).any()
