@@ -55,10 +55,16 @@ def acquire_net_contact_force_tensor(state: SimState) -> jnp.ndarray:
     return state.net_contact_force
 
 
-def acquire_force_sensor_tensor(sim: Simulator, state: SimState, body_indices) -> jnp.ndarray:
-    """(B, n_sensors, 6) wrench readings at the given env-level body indices:
-    [force(3), torque(3)] — torque reported as zero (point-contact model;
-    the reference's foot force sensors read forces only in practice)."""
+def acquire_force_sensor_tensor(sim: Simulator, state: SimState,
+                                body_indices=None) -> jnp.ndarray:
+    """(B, n_sensors, 6) wrench readings: [force(3), torque(3)] — torque
+    reported as zero (point-contact model; the reference's foot force sensors
+    read forces only in practice). ``body_indices`` are env-level body rows;
+    default: every sensor registered via ``create_asset_force_sensor``
+    (sim/asset_api.py), in actor order — the reference's tensor ordering."""
+    if body_indices is None:
+        from isaacgym_tpu.sim.asset_api import scene_force_sensor_body_indices
+        body_indices = scene_force_sensor_body_indices(sim.scene)
     forces = state.net_contact_force[:, jnp.asarray(body_indices), :]
     return jnp.concatenate([forces, jnp.zeros_like(forces)], axis=-1)
 
@@ -75,6 +81,17 @@ def acquire_camera_image_tensor(camera, sim: Simulator, state: SimState,
 def refresh_all(state: SimState) -> SimState:
     """``refresh_*_tensor`` family: the functional state is always current."""
     return state
+
+
+# Named refresh aliases for call-site parity (reference refresh calls at
+# `...only_3_actor.py:141-146`): each is the identity — the PyTree state
+# never goes stale.
+refresh_actor_root_state_tensor = refresh_all
+refresh_dof_state_tensor = refresh_all
+refresh_rigid_body_state_tensor = refresh_all
+refresh_dof_force_tensor = refresh_all
+refresh_net_contact_force_tensor = refresh_all
+refresh_force_sensor_tensor = refresh_all
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,38 @@ class _Camera:
         return np.stack([x, y], -1), c[:, 2]
 
 
+def viewer_camera_look_at(camera: "_Camera", eye, target) -> "_Camera":
+    """Reference ``gym.viewer_camera_look_at(viewer, env, eye, target)``
+    (joint_monkey2_new.py:223): returns a camera re-aimed at ``target`` from
+    ``eye`` keeping the image size/FOV."""
+    fov = np.degrees(2 * np.arctan(0.5 * camera.h / camera.f))
+    return _Camera(eye, target, camera.w, camera.h, fov_deg=fov)
+
+
+def get_viewer_camera_transform(camera: "_Camera"):
+    """Reference ``gym.get_viewer_camera_transform`` → (position (3,),
+    orientation quat (4,) xyzw) of the camera in world frame, in the
+    gymapi camera convention: the camera looks along the transform's +x,
+    with +z up (so columns of the rotation are [fwd, left, up])."""
+    right, up, fwd = camera.R  # world->cam rows (left-handed screen basis)
+    m = np.stack([fwd, -right, up], axis=1)  # cam->world, right-handed
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([(m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s,
+                      (m[1, 0] - m[0, 1]) / s, 0.25 * s])
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[j] = (m[j, i] + m[i, j]) / s
+        q[k] = (m[k, i] + m[i, k]) / s
+        q[3] = (m[k, j] - m[j, k]) / s
+    return camera.eye.copy(), q / np.linalg.norm(q)
+
+
 _BOX_CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
                          for sz in (-1, 1)], np.float64)
 _BOX_FACES = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
