@@ -238,6 +238,68 @@ def get_axis_params(value, axis_idx, x_value=0.0, n_dims=3):
     return jnp.asarray(v, dtype=jnp.float32)
 
 
+def rand_float(key, lower, upper, shape):
+    """Uniform floats in [lower, upper) (reference ``torch_rand_float``,
+    used e.g. at /root/reference/tasks/humanoid_pingpong.py:535). JAX-native:
+    takes an explicit PRNG ``key`` instead of a device string."""
+    import jax
+    return jax.random.uniform(key, shape, minval=lower, maxval=upper,
+                              dtype=jnp.float32)
+
+
+torch_rand_float = rand_float
+
+
+def to_jnp(x, dtype=jnp.float32):
+    """Array constructor (reference ``to_torch``; 105 uses per SURVEY §2 N8)."""
+    return jnp.asarray(x, dtype=dtype)
+
+
+def get_euler_xyz(q):
+    """Quaternion (xyzw) -> intrinsic XYZ euler angles (roll, pitch, yaw),
+    each wrapped to (-pi, pi] like the reference helper."""
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    sinr_cosp = 2.0 * (qw * qx + qy * qz)
+    cosr_cosp = 1.0 - 2.0 * (qx * qx + qy * qy)
+    roll = jnp.arctan2(sinr_cosp, cosr_cosp)
+    sinp = jnp.clip(2.0 * (qw * qy - qz * qx), -1.0, 1.0)
+    pitch = jnp.arcsin(sinp)
+    siny_cosp = 2.0 * (qw * qz + qx * qy)
+    cosy_cosp = 1.0 - 2.0 * (qy * qy + qz * qz)
+    yaw = jnp.arctan2(siny_cosp, cosy_cosp)
+    return normalize_angle(roll), normalize_angle(pitch), normalize_angle(yaw)
+
+
+def compute_heading_and_up(torso_rotation, inv_start_rot, to_target,
+                           vec0, vec1, up_idx):
+    """NV-humanoid heading/up decomposition (imported by the reference tasks
+    via the torch_jit_utils wildcard, /root/reference/tasks/humanoid_pingpong.py:42;
+    consumed by the kept NV obs at :816-851).
+
+    Returns (torso_quat, up_proj, heading_proj, up_vec, heading_vec)."""
+    target_dirs = to_target / jnp.maximum(
+        jnp.linalg.norm(to_target, axis=-1, keepdims=True), _EPS)
+    torso_quat = quat_mul(torso_rotation, inv_start_rot)
+    up_vec = quat_rotate(torso_quat, vec1)
+    heading_vec = quat_rotate(torso_quat, vec0)
+    up_proj = up_vec[..., up_idx]
+    heading_proj = jnp.sum(heading_vec * target_dirs, axis=-1)
+    return torso_quat, up_proj, heading_proj, up_vec, heading_vec
+
+
+def compute_rot(torso_quat, velocity, ang_velocity, targets, torso_positions):
+    """Local-frame velocities + euler + angle-to-target (NV humanoid obs
+    companion of :func:`compute_heading_and_up`)."""
+    vel_loc = quat_rotate_inverse(torso_quat, velocity)
+    angvel_loc = quat_rotate_inverse(torso_quat, ang_velocity)
+    roll, pitch, yaw = get_euler_xyz(torso_quat)
+    walk_target_angle = jnp.arctan2(
+        targets[..., 2] - torso_positions[..., 2],
+        targets[..., 0] - torso_positions[..., 0])
+    angle_to_target = walk_target_angle - yaw
+    return vel_loc, angvel_loc, roll, pitch, yaw, angle_to_target
+
+
 def slerp(q0, q1, t):
     """Spherical linear interpolation between unit quaternions (xyzw)."""
     cos_half = jnp.sum(q0 * q1, axis=-1, keepdims=True)

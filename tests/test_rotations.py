@@ -136,3 +136,43 @@ def test_slerp_endpoints():
     s1 = np.asarray(rot.slerp(a, b, 1.0))
     dot = np.abs(np.sum(s1 * np.asarray(b), axis=-1))
     np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+
+def test_rand_float_bounds_and_determinism():
+    k = jax.random.PRNGKey(7)
+    x = rot.torch_rand_float(k, -0.2, 0.2, (64, 7))
+    assert x.shape == (64, 7) and x.dtype == jnp.float32
+    assert float(x.min()) >= -0.2 and float(x.max()) < 0.2
+    np.testing.assert_array_equal(np.asarray(x),
+                                  np.asarray(rot.rand_float(k, -0.2, 0.2, (64, 7))))
+
+
+def test_get_euler_xyz_roundtrip():
+    rpy = (jnp.asarray(0.3), jnp.asarray(-0.7), jnp.asarray(1.9))
+    q = rot.quat_from_euler_xyz(*rpy)
+    r, p, y = rot.get_euler_xyz(q)
+    np.testing.assert_allclose([float(r), float(p), float(y)],
+                               [0.3, -0.7, 1.9], atol=1e-5)
+
+
+def test_compute_heading_and_up_rot():
+    """Yawed torso: heading vector rotates with yaw; up stays +z; compute_rot
+    maps world velocity into the torso frame and reports the yaw."""
+    yaw = jnp.asarray([0.9])
+    q = rot.quat_from_angle_axis(yaw, jnp.asarray([0.0, 0.0, 1.0]))
+    inv_start = rot.quat_identity((1,))
+    to_target = jnp.asarray([[1.0, 0.0, 0.0]])
+    vec0 = jnp.asarray([[1.0, 0.0, 0.0]])
+    vec1 = jnp.asarray([[0.0, 0.0, 1.0]])
+    tq, up_proj, heading_proj, up_vec, heading_vec = rot.compute_heading_and_up(
+        q, inv_start, to_target, vec0, vec1, 2)
+    np.testing.assert_allclose(float(up_proj[0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(heading_proj[0]), float(jnp.cos(yaw[0])), atol=1e-5)
+    vel = jnp.asarray([[2.0, 0.0, 0.0]])
+    vel_loc, angvel_loc, r, p, y, ang2t = rot.compute_rot(
+        tq, vel, vel, to_target * 5.0, jnp.zeros((1, 3)))
+    np.testing.assert_allclose(float(y[0]), 0.9, atol=1e-5)
+    # local x-velocity = |v| cos(yaw), local y = -|v| sin(yaw)
+    np.testing.assert_allclose(np.asarray(vel_loc[0]),
+                               [2 * np.cos(0.9), -2 * np.sin(0.9), 0.0], atol=1e-5)
+    np.testing.assert_allclose(float(ang2t[0]), -0.9, atol=1e-5)
