@@ -68,10 +68,31 @@ def _integrate_quat(quat, omega, dt):
 def _ball_kappa(ball) -> float:
     """Spin-coupling ratio kappa = m r^2 / I for a free sphere (3/2 for the
     hollow ping-pong ball's URDF inertia, 5/2 for a solid sphere); 0 when no
-    inertia is recorded (spin decoupled, pre-spin behavior)."""
+    inertia is recorded (spin decoupled, pre-spin behavior).
+
+    Diagnostic override: ``ISAACGYM_TPU_BALL_KAPPA`` forces the value (both
+    the XLA path and the fused Pallas kernels read kappa through here at
+    trace/build time) — used to bisect learning regressions against the
+    spin-less contact model."""
+    import os
+    override = os.environ.get("ISAACGYM_TPU_BALL_KAPPA")
+    if override is not None:
+        return float(override)
     if getattr(ball, "inertia", 0.0) > 0.0:
         return float(ball.mass * ball.radius ** 2 / ball.inertia)
     return 0.0  # contacts treat kappa == 0 as fully spin-decoupled
+
+
+def _ccd_dt(dt_s: float) -> float:
+    """Speculative-contact horizon (PhysX default CCD). Diagnostic override:
+    ``ISAACGYM_TPU_CCD=0`` disables speculative activation on the XLA path
+    (penetration-only contacts, the pre-CCD behavior) for physics bisection.
+    The fused Pallas kernels keep their baked dt (disable them with
+    ``ISAACGYM_TPU_PALLAS=0`` to make this knob effective)."""
+    import os
+    if os.environ.get("ISAACGYM_TPU_CCD", "1") == "0":
+        return 0.0
+    return dt_s
 
 
 def _compose(p1, q1, p2, q2):
@@ -743,7 +764,7 @@ class Simulator:
                     frame = C.sphere_plane(pos, ball.radius)
                 dv, dw, _, active = C.resolve_sphere_impulse_spin(
                     vel, omega, ball.radius, kappa, frame, jnp.zeros(3),
-                    e, mu, self.bounce_threshold, dt=dt_s)
+                    e, mu, self.bounce_threshold, dt=_ccd_dt(dt_s))
                 vel = vel + dv
                 omega = omega + dw
                 pos = C.depenetrate(pos, frame, active)
@@ -779,7 +800,7 @@ class Simulator:
                 dist = dn - a.radius - b.radius
                 v_rel = va - vb
                 vn = jnp.sum(v_rel * n)
-                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+                active = (dist + vn * _ccd_dt(dt_s) < 0.0) & (vn < 0.0)  # speculative
                 e, mu = C.combine_material(a.restitution, b.restitution,
                                            a.friction, b.friction)
                 e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
@@ -880,7 +901,7 @@ class Simulator:
                                    ball.friction, jnp.asarray(grp.friction))
         dv, dw, _, active = C.resolve_sphere_impulse_spin(
             vel[None], omega[None], ball.radius, _ball_kappa(ball), frame,
-            jnp.zeros_like(gpos), e, mu, self.bounce_threshold, dt=dt_s)
+            jnp.zeros_like(gpos), e, mu, self.bounce_threshold, dt=_ccd_dt(dt_s))
         dv_tot = dv.sum(axis=0)
         vel = vel + dv_tot
         omega = omega + dw.sum(axis=0)
@@ -914,7 +935,7 @@ class Simulator:
         vn = jnp.sum(v_rel * n, axis=-1)
         # speculative activation (PhysX CCD): fire before a fast ball can
         # cross a thin geom within the substep
-        active = (frame.dist + vn * dt_s < 0.0) & (vn < 0.0)
+        active = (frame.dist + vn * _ccd_dt(dt_s) < 0.0) & (vn < 0.0)
         grp_e = jnp.asarray(grp.restitution)
         grp_mu = jnp.asarray(grp.friction)
         if dr is not None:  # humanoid shape-property randomization

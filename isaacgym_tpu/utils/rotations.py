@@ -256,8 +256,13 @@ def to_jnp(x, dtype=jnp.float32):
 
 
 def get_euler_xyz(q):
-    """Quaternion (xyzw) -> intrinsic XYZ euler angles (roll, pitch, yaw),
-    each wrapped to (-pi, pi] like the reference helper."""
+    """Quaternion (xyzw) -> intrinsic XYZ euler angles (roll, pitch, yaw).
+
+    Intentional range deviation: the upstream ``torch_jit_utils`` helper
+    returns angles mod 2*pi in [0, 2*pi); here each angle is wrapped to
+    (-pi, pi]. Every reference consumption site re-applies
+    ``normalize_angle`` (idempotent), so the observable obs/reward values
+    are identical — only the raw range differs."""
     qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     sinr_cosp = 2.0 * (qw * qx + qy * qz)
     cosr_cosp = 1.0 - 2.0 * (qx * qx + qy * qy)

@@ -22,12 +22,15 @@ KEYS = ("epoch", "episode_return_mean", "episode_length_mean",
 
 def distill(run_dir: str, stride: int = 10, out_dir: str = "docs/runs") -> str:
     name = os.path.basename(os.path.normpath(run_dir))
+    stride = max(1, stride)
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{name}.jsonl")
     n_in = n_out = 0
     with open(os.path.join(run_dir, "metrics.jsonl")) as f, \
             open(out_path, "w") as out:
         for line in f:
+            if not line.strip():
+                continue
             row = json.loads(line)
             n_in += 1
             # keep strided rows and every row where episodes completed
