@@ -16,6 +16,24 @@ import orbax.checkpoint as ocp
 
 
 def save(path: str, state: Any) -> None:
+    """Save a train-state pytree.
+
+    Multi-process safe for the rank-0-only save pattern the launcher uses
+    (train.py, mirroring the reference's rank-0 gating at
+    /root/reference/train.py:180-183): PPOTrainState leaves are replicated
+    over the global mesh under ``jax.distributed``, which makes them
+    non-fully-addressable on any single process — orbax would refuse (or
+    deadlock waiting for the other ranks). Fully-replicated leaves carry the
+    whole value on every process, so materialize them to host numpy first."""
+    import jax
+    import numpy as np
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x)  # legal iff fully replicated; else raises
+        return x
+
+    state = jax.tree.map(to_host, state)
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)

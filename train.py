@@ -141,10 +141,12 @@ def main(argv):
                   f"a_loss {scalar['a_loss']:.4f}  c_loss {scalar['c_loss']:.4f}  "
                   f"kl {scalar['kl']:.4f}  {rate:,.0f} steps/s"
                   + (f"  [{ev}]" if ev else ""), flush=True)
-        if rank == 0 and save_freq and (it + 1) % save_freq == 0:
+        # checkpoint saves are COLLECTIVE under jax.distributed (orbax
+        # syncs processes and lets the primary write); logs stay rank-0-only
+        if save_freq and (it + 1) % save_freq == 0:
             ckpt.save(os.path.join(run_dir, f"ckpt_{it + 1:07d}"), ts)
+    ckpt.save(os.path.join(run_dir, "ckpt_final"), ts)
     if rank == 0:
-        ckpt.save(os.path.join(run_dir, "ckpt_final"), ts)
         observer.close()
         print(f"done in {time.time() - t_start:.0f}s; checkpoints in {run_dir}", flush=True)
 
