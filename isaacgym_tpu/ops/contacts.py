@@ -146,8 +146,9 @@ def resolve_sphere_impulse_spin(v_ball, omega, radius, kappa,
     (3/2 hollow sphere, 5/2 solid), so sticking needs
     j_t = |u_t| / (1 + kappa) and Coulomb gives j_t = min(mu j_n, that).
     Angular update: domega = (kappa j_t / r) (n x t_hat). The normal impulse
-    passes through the center — no torque. ``dt`` > 0 enables speculative
-    activation (see resolve_sphere_impulse).
+    passes through the center — no torque. ``dt`` > 0 enables the legacy
+    speculative horizon; current callers pass a :func:`swept_frame` result
+    and keep dt = 0 (penetration-only on the swept activation depth).
 
     Returns (dv, domega, impulse_per_mass, active).
     """
@@ -171,6 +172,48 @@ def resolve_sphere_impulse_spin(v_ball, omega, radius, kappa,
     domega = (kappa / radius) * jt[..., None] * jnp.cross(n, t_hat)
     domega = jnp.where(active[..., None], domega, 0.0)
     return dv, domega, dv, active
+
+
+def swept_frame(geom_fn, pos, v_rel, dt, samples: int = 4) -> ContactFrame:
+    """Swept-sample CCD frame: evaluate the closest-point distance at
+    ``samples+1`` points along the relative motion ``pos + v_rel * t`` over
+    one substep and return the deepest sample's frame with the CURRENT
+    sample's contact point.
+
+    This replaces the earlier speculative horizon (``dist + vn*dt < 0``),
+    which fired PHANTOM contacts when a ball passed just beside a geom edge
+    moving toward its closest point — the deflection (lateral normal, no
+    vx flip) punished near-misses and inverted the alignment-reward gradient
+    (the round-2 flagship learning regression). Sampling the actual distance
+    along the sweep only activates on true (predicted) penetration, stays
+    edge-correct, and still prevents tunneling through thin geoms (paddle
+    blade) up to ``samples * window / dt`` relative speed. PhysX equivalent:
+    sweep-based CCD with contact_offset 2e-4
+    (/root/reference/cfg/task/HumanoidPingpongTiltNoEarlyStopG1.yaml sim
+    params), NOT large speculative margins.
+
+    ``geom_fn(p) -> ContactFrame`` must be the closest-point test for the
+    geom at a candidate sphere-center position ``p``.
+
+    Returns ``(frame, now_dist)``: ``frame`` carries the deepest sample's
+    (dist, normal) for activation/impulse and the CURRENT sample's contact
+    point; ``now_dist`` is the current-position distance — positional
+    depenetration must use it, not the (possibly future) swept depth.
+    """
+    f0 = geom_fn(pos)
+    if dt == 0.0:
+        return f0, f0.dist
+    frames = [f0] + [geom_fn(pos + v_rel * (dt * k / samples))
+                     for k in range(1, samples + 1)]
+    dists = jnp.stack([f.dist for f in frames])           # (K+1, ...)
+    normals = jnp.stack([f.normal for f in frames])       # (K+1, ..., 3)
+    # FIRST penetrating sample = entry side (argmin would pick the deepest,
+    # which on a full crossing lies past the geom with the exit normal and
+    # the activation's vn test would wrongly reject it)
+    j = jnp.argmax(dists < 0.0, axis=0)
+    dist = jnp.take_along_axis(dists, j[None], axis=0)[0]
+    normal = jnp.take_along_axis(normals, j[None, ..., None], axis=0)[0]
+    return ContactFrame(dist=dist, normal=normal, point=f0.point), f0.dist
 
 
 def depenetrate(pos, frame: ContactFrame, active):

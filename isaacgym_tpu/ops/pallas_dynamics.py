@@ -682,14 +682,33 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         dist = jnp.where(outside, out_dist, d_in) - rb_
         return dist, n
 
-    def _resolve_static(vel, omg, dist, n, e, mu):
+    def _swept_eval(eval_fn, pos, v_rel, samples: int = 4):
+        """Swept-sample CCD (ops.contacts.swept_frame, kernel form): evaluate
+        ``eval_fn(p) -> (dist, n)`` along the relative motion over one
+        substep; activation frame = FIRST penetrating sample (entry-side
+        normal); depenetration depth = current sample."""
+        d0, n0 = eval_fn(pos)
+        best_d, best_n, found = d0, n0, d0 < 0.0
+        for k in range(1, samples + 1):
+            dk, nk = eval_fn(_add(pos, _scale(v_rel, dt_s * k / samples)))
+            take = (~found) & (dk < 0.0)
+            best_d = jnp.where(take, dk, best_d)
+            best_n = tuple(jnp.where(take, nk[i], best_n[i]) for i in range(3))
+            found = found | (dk < 0.0)
+        return best_d, best_n, d0
+
+    def _resolve_static(vel, omg, dist, n, e, mu, dist_now=None):
         """spin-aware impulse against a static surface; returns
         (vel', omega', push, dv) — mirrors ops.contacts.resolve_sphere_impulse_spin:
         slip at the contact point is vel - r (omega x n), the tangential
         effective inverse mass gains (1 + kappa), and friction torques the
-        ball by (kappa jt / r)(n x t_hat)."""
+        ball by (kappa jt / r)(n x t_hat). ``dist`` is the swept activation
+        depth (penetration-only test); ``dist_now`` the current depth used
+        for positional projection."""
+        if dist_now is None:
+            dist_now = dist
         vn = _dot(vel, n)
-        active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative (CCD)
+        active = (dist < 0.0) & (vn < 0.0)
         e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
         jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
         slip = _sub(vel, _scale(_cross(omg, n), rb_)) if kappa > 0 else vel
@@ -701,7 +720,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         dv = _sub(_scale(n, jn), _scale(t_hat, jt))
         vel2 = _add(vel, dv)
         omg2 = _add(omg, _scale(_cross(n, t_hat), kappa / rb_ * jt))
-        push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
+        push = _scale(n, jnp.where(active, jnp.maximum(-dist_now, 0.0), 0.0))
         return vel2, omg2, push, dv
 
     def kernel(*refs):
@@ -867,12 +886,15 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         if km_aero > 0.0:
             vel = _add(vel, _scale(_cross(omg, vel), dt_s * km_aero))
 
-        # ground plane (z = 0, normal +z)
+        # ground plane (z = 0, normal +z): the swept minimum along a plane
+        # is monotone — min of the current and end-of-substep distance
         e, mu = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0))), \
                 0.5 * (mu_ball + float(ball_cfg.get("plane_mu", 1.0)))
-        dist = pos[2] - rb_
+        dist0 = pos[2] - rb_
+        dist = jnp.minimum(dist0, dist0 + vel[2] * dt_s)
         vel, omg, push, dv = _resolve_static(vel, omg, dist,
-                                             (zero, zero, zero + 1.0), e, mu)
+                                             (zero, zero, zero + 1.0), e, mu,
+                                             dist_now=dist0)
         pos = _add(pos, push)
         imp_x, imp_y, imp_z = [_scale(dv, 1.0 / inv_mb)[i] for i in range(3)]
 
@@ -880,21 +902,26 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         for g in static_geoms:
             gp = tuple(float(v) for v in g["pos"])
             gq = tuple(float(v) for v in g["quat"])
-            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
             kind_s = int(g["kind"])
-            if kind_s == U.GEOM_SPHERE:
-                d2 = _dot(c_local, c_local)
-                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                n_local = _scale(c_local, 1.0 / dn)
-                dist = dn - float(g["size"][0]) - rb_
-            elif kind_s == U.GEOM_BOX:
-                dist, n_local = _sphere_box_local(c_local, g["size"])
-            else:
-                dist, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
-            n = _qrot(gq, n_local)
+
+            def eval_g(p, gp=gp, gq=gq, g=g, kind_s=kind_s):
+                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                if kind_s == U.GEOM_SPHERE:
+                    d2 = _dot(c_local, c_local)
+                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    n_local = _scale(c_local, 1.0 / dn)
+                    d = dn - float(g["size"][0]) - rb_
+                elif kind_s == U.GEOM_BOX:
+                    d, n_local = _sphere_box_local(c_local, g["size"])
+                else:
+                    d, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
+                return d, _qrot(gq, n_local)
+
+            dist, n, dist0 = _swept_eval(eval_g, pos, vel)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
-            vel, omg, push, dv = _resolve_static(vel, omg, dist, n, e, mu)
+            vel, omg, push, dv = _resolve_static(vel, omg, dist, n, e, mu,
+                                                 dist_now=dist0)
             pos = _add(pos, push)
             imp_x = imp_x + dv[0] / inv_mb
             imp_y = imp_y + dv[1] / inv_mb
@@ -910,22 +937,27 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             oq = tuple(float(v) for v in g["off_quat"])
             gp = _add(fp2[link], _qrot(fq2[link], op))
             gq = _qmul(fq2[link], oq)
-            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
             kind = int(g["kind"])
-            if kind == U.GEOM_SPHERE:
-                d2 = _dot(c_local, c_local)
-                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                inv = 1.0 / dn
-                n_local = _scale(c_local, inv)
-                dist = dn - float(g["size"][0]) - rb_
-            elif kind == U.GEOM_BOX:
-                dist, n_local = _sphere_box_local(c_local, g["size"])
-            else:
-                dist, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
-            n = _qrot(gq, n_local)
 
-            # contact point + its Jacobian columns (linear part only)
-            cp = _sub(pos, _scale(n, rb_))
+            def eval_g(p, gp=gp, gq=gq, g=g, kind=kind):
+                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                if kind == U.GEOM_SPHERE:
+                    d2 = _dot(c_local, c_local)
+                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    n_local = _scale(c_local, 1.0 / dn)
+                    d = dn - float(g["size"][0]) - rb_
+                elif kind == U.GEOM_BOX:
+                    d, n_local = _sphere_box_local(c_local, g["size"])
+                else:
+                    d, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
+                return d, _qrot(gq, n_local)
+
+            d_now, n_now = eval_g(pos)
+
+            # contact point + its Jacobian columns (linear part only);
+            # the Jacobian/velocity use the CURRENT closest point (the swept
+            # activation frame reuses them — second-order error)
+            cp = _sub(pos, _scale(n_now, rb_))
             Jcols = []
             for i in range(nd):
                 if mask[link, i]:
@@ -945,9 +977,21 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 if Jcols[i] is not None:
                     v_point = _add(v_point, _scale(Jcols[i], u[i]))
 
-            v_rel = _sub(vel, v_point)
+            v_rel0 = _sub(vel, v_point)
+
+            # swept-sample CCD along the relative motion (geom frozen over
+            # the substep); entry-side normal, current-depth depenetration
+            dist, n, found = d_now, n_now, d_now < 0.0
+            for kk in range(1, 5):
+                dk, nk = eval_g(_add(pos, _scale(v_rel0, dt_s * kk / 4)))
+                take = (~found) & (dk < 0.0)
+                dist = jnp.where(take, dk, dist)
+                n = tuple(jnp.where(take, nk[i], n[i]) for i in range(3))
+                found = found | (dk < 0.0)
+
+            v_rel = v_rel0
             vn = _dot(v_rel, n)
-            active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+            active = (dist < 0.0) & (vn < 0.0)
             e = 0.5 * (e_ball + float(g["e"]) * rest_s)
             mu = 0.5 * (mu_ball + float(g["mu"]) * fric_s)
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
@@ -972,7 +1016,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             du = back_sub([yn[i] * (-Pn) + yt[i] * Pt for i in range(nd)])
             for i in range(nd):
                 u[i] = u[i] + du[i]
-            pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
+            pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-d_now, 0.0), 0.0)))
             imp_ref[gi * 3 + 0] = -P[0]
             imp_ref[gi * 3 + 1] = -P[1]
             imp_ref[gi * 3 + 2] = -P[2]
@@ -1342,10 +1386,14 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             if km_a > 0.0:
                 vel = _add(vel, _scale(_cross(omg, vel), dt_s * km_a))
 
-            def resolve_static(vel, omg, dist, n, e, mu, rb_=rb_, kap=kap):
-                # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
+            def resolve_static(vel, omg, dist, n, e, mu, dist_now=None,
+                               rb_=rb_, kap=kap):
+                # spin-aware (ops.contacts.resolve_sphere_impulse_spin);
+                # penetration-only on the swept activation depth ``dist``
+                if dist_now is None:
+                    dist_now = dist
                 vn = _dot(vel, n)
-                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+                active = (dist < 0.0) & (vn < 0.0)
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
                 jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
                 slip = (_sub(vel, _scale(_cross(omg, n), rb_))
@@ -1356,34 +1404,53 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 t_hat = _scale(vt, 1.0 / vt_n)
                 dv = _sub(_scale(n, jn), _scale(t_hat, jt))
                 omg2 = _add(omg, _scale(_cross(n, t_hat), kap / rb_ * jt))
-                push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
+                push = _scale(n, jnp.where(active, jnp.maximum(-dist_now, 0.0), 0.0))
                 return _add(vel, dv), omg2, push, dv
+
+            def swept(eval_fn, pos, v_rel, samples=4):
+                # first-penetrating sample (ops.contacts.swept_frame)
+                d0, n0 = eval_fn(pos)
+                bd, bn, found = d0, n0, d0 < 0.0
+                for kk in range(1, samples + 1):
+                    dk, nk = eval_fn(_add(pos, _scale(v_rel, dt_s * kk / samples)))
+                    take = (~found) & (dk < 0.0)
+                    bd = jnp.where(take, dk, bd)
+                    bn = tuple(jnp.where(take, nk[i], bn[i]) for i in range(3))
+                    found = found | (dk < 0.0)
+                return bd, bn, d0
 
             e = 0.5 * (e_ball + float(bc.get("plane_e", 0.0)))
             mu = 0.5 * (mu_ball + float(bc.get("plane_mu", 1.0)))
-            vel, omg, push, dv = resolve_static(vel, omg, pos[2] - rb_,
-                                                (zero, zero, zero + 1.0), e, mu)
+            d0p = pos[2] - rb_
+            vel, omg, push, dv = resolve_static(
+                vel, omg, jnp.minimum(d0p, d0p + vel[2] * dt_s),
+                (zero, zero, zero + 1.0), e, mu, dist_now=d0p)
             pos = _add(pos, push)
             s_imp = list(_scale(dv, 1.0 / inv_mb))
 
             for g in static_geoms:
                 gp = tuple(float(v) for v in g["pos"])
                 gq = tuple(float(v) for v in g["quat"])
-                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
                 kind_s = int(g["kind"])
-                if kind_s == U.GEOM_SPHERE:
-                    d2 = _dot(c_local, c_local)
-                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    n_local = _scale(c_local, 1.0 / dn)
-                    dist = dn - float(g["size"][0]) - rb_
-                elif kind_s == U.GEOM_BOX:
-                    dist, n_local = sphere_box_local(c_local, g["size"], rb_)
-                else:
-                    dist, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
-                n = _qrot(gq, n_local)
+
+                def eval_g(p, gp=gp, gq=gq, g=g, kind_s=kind_s, rb_=rb_):
+                    c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                    if kind_s == U.GEOM_SPHERE:
+                        d2 = _dot(c_local, c_local)
+                        dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                        n_local = _scale(c_local, 1.0 / dn)
+                        d = dn - float(g["size"][0]) - rb_
+                    elif kind_s == U.GEOM_BOX:
+                        d, n_local = sphere_box_local(c_local, g["size"], rb_)
+                    else:
+                        d, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
+                    return d, _qrot(gq, n_local)
+
+                dist, n, d0 = swept(eval_g, pos, vel)
                 e = 0.5 * (e_ball + float(g["e"]))
                 mu = 0.5 * (mu_ball + float(g["mu"]))
-                vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu)
+                vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu,
+                                                    dist_now=d0)
                 pos = _add(pos, push)
                 for i3 in range(3):
                     s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
@@ -1395,19 +1462,23 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 fp2, fq2, axes2 = rt["fp2"], rt["fq2"], rt["axes2"]
                 gp = _add(fp2[link], _qrot(fq2[link], tuple(float(v) for v in g["off_pos"])))
                 gq = _qmul(fq2[link], tuple(float(v) for v in g["off_quat"]))
-                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
                 kind = int(g["kind"])
-                if kind == U.GEOM_SPHERE:
-                    d2 = _dot(c_local, c_local)
-                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    n_local = _scale(c_local, 1.0 / dn)
-                    dist = dn - float(g["size"][0]) - rb_
-                elif kind == U.GEOM_BOX:
-                    dist, n_local = sphere_box_local(c_local, g["size"], rb_)
-                else:
-                    dist, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
-                n = _qrot(gq, n_local)
-                cp = _sub(pos, _scale(n, rb_))
+
+                def eval_g(p, gp=gp, gq=gq, g=g, kind=kind, rb_=rb_):
+                    c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                    if kind == U.GEOM_SPHERE:
+                        d2 = _dot(c_local, c_local)
+                        dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                        n_local = _scale(c_local, 1.0 / dn)
+                        d = dn - float(g["size"][0]) - rb_
+                    elif kind == U.GEOM_BOX:
+                        d, n_local = sphere_box_local(c_local, g["size"], rb_)
+                    else:
+                        d, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
+                    return d, _qrot(gq, n_local)
+
+                d_now, n_now = eval_g(pos)
+                cp = _sub(pos, _scale(n_now, rb_))
                 nd_a = rt["nd"]
                 Jcols = []
                 for i in range(nd_a):
@@ -1420,8 +1491,16 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     if Jcols[i] is not None:
                         v_point = _add(v_point, _scale(Jcols[i], rt["u"][i]))
                 v_rel = _sub(vel, v_point)
+                # swept-sample CCD along the relative motion
+                dist, n, found = d_now, n_now, d_now < 0.0
+                for kk in range(1, 5):
+                    dk, nk = eval_g(_add(pos, _scale(v_rel, dt_s * kk / 4)))
+                    take = (~found) & (dk < 0.0)
+                    dist = jnp.where(take, dk, dist)
+                    n = tuple(jnp.where(take, nk[i], n[i]) for i in range(3))
+                    found = found | (dk < 0.0)
                 vn = _dot(v_rel, n)
-                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+                active = (dist < 0.0) & (vn < 0.0)
                 e = 0.5 * (e_ball + float(g["e"]))
                 mu = 0.5 * (mu_ball + float(g["mu"]))
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
@@ -1446,7 +1525,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 du = rt["back_sub"]([yn[i] * (-Pn) + yt[i] * Pt for i in range(nd_a)])
                 for i in range(nd_a):
                     rt["u"][i] = rt["u"][i] + du[i]
-                pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
+                pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-d_now, 0.0), 0.0)))
                 for i3 in range(3):
                     geom_imp[gi][i3] = geom_imp[gi][i3] - P[i3]
                     b_art[i3] = b_art[i3] + P[i3]
@@ -1464,10 +1543,16 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 d = _sub(A["pos"], Bb["pos"])
                 dn = jnp.sqrt(jnp.maximum(_dot(d, d), 1e-18))
                 n = _scale(d, 1.0 / dn)
-                dist = dn - A["rb"] - Bb["rb"]
                 v_rel = _sub(A["vel"], Bb["vel"])
+                # swept-sample CCD on the relative separation
+                dist = dn
+                for kk in range(1, 5):
+                    dk = _add(d, _scale(v_rel, dt_s * kk / 4))
+                    dist = jnp.minimum(dist, jnp.sqrt(jnp.maximum(_dot(dk, dk), 1e-18)))
+                dist_now = dn - A["rb"] - Bb["rb"]
+                dist = dist - A["rb"] - Bb["rb"]
                 vn = _dot(v_rel, n)
-                active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+                active = (dist < 0.0) & (vn < 0.0)
                 e = 0.5 * (float(A["bc"]["restitution"]) + float(Bb["bc"]["restitution"]))
                 mu = 0.5 * (float(A["bc"]["friction"]) + float(Bb["bc"]["friction"]))
                 e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
@@ -1489,7 +1574,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 Bb["vel"] = _sub(Bb["vel"], _scale(P, Bb["inv_m"]))
                 A["omg"] = _add(A["omg"], _scale(dwdir, A["kap"] * A["inv_m"] / A["rb"] * Pt))
                 Bb["omg"] = _add(Bb["omg"], _scale(dwdir, Bb["kap"] * Bb["inv_m"] / Bb["rb"] * Pt))
-                push = jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)
+                push = jnp.where(active, jnp.maximum(-dist_now, 0.0), 0.0)
                 A["pos"] = _add(A["pos"], _scale(n, 0.5 * push))
                 Bb["pos"] = _sub(Bb["pos"], _scale(n, 0.5 * push))
                 for i3 in range(3):
@@ -1958,10 +2043,13 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         if km_aero > 0.0:
             vel = _add(vel, _scale(_cross(omg, vel), dt_s * km_aero))
 
-        def resolve_static(vel, omg, dist, n, e, mu):
-            # spin-aware (ops.contacts.resolve_sphere_impulse_spin)
+        def resolve_static(vel, omg, dist, n, e, mu, dist_now=None):
+            # spin-aware (ops.contacts.resolve_sphere_impulse_spin);
+            # penetration-only on the swept activation depth ``dist``
+            if dist_now is None:
+                dist_now = dist
             vn = _dot(vel, n)
-            active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+            active = (dist < 0.0) & (vn < 0.0)
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
             jn = jnp.where(active, -(1.0 + e_eff) * vn, 0.0)
             slip = (_sub(vel, _scale(_cross(omg, n), rb_))
@@ -1972,34 +2060,53 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             t_hat = _scale(vt, 1.0 / vt_n)
             dv = _sub(_scale(n, jn), _scale(t_hat, jt))
             omg2 = _add(omg, _scale(_cross(n, t_hat), kappa / rb_ * jt))
-            push = _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0))
+            push = _scale(n, jnp.where(active, jnp.maximum(-dist_now, 0.0), 0.0))
             return _add(vel, dv), omg2, push, dv
+
+        def swept(eval_fn, pos, v_rel, samples=4):
+            # first-penetrating sample (ops.contacts.swept_frame)
+            d0, n0 = eval_fn(pos)
+            bd, bn, found = d0, n0, d0 < 0.0
+            for kk in range(1, samples + 1):
+                dk, nk = eval_fn(_add(pos, _scale(v_rel, dt_s * kk / samples)))
+                take = (~found) & (dk < 0.0)
+                bd = jnp.where(take, dk, bd)
+                bn = tuple(jnp.where(take, nk[i], bn[i]) for i in range(3))
+                found = found | (dk < 0.0)
+            return bd, bn, d0
 
         e = 0.5 * (e_ball + float(ball_cfg.get("plane_e", 0.0)))
         mu = 0.5 * (mu_ball + float(ball_cfg.get("plane_mu", 1.0)))
-        vel, omg, push, dv = resolve_static(vel, omg, pos[2] - rb_,
-                                            (zero, zero, zero + 1.0), e, mu)
+        d0p = pos[2] - rb_
+        vel, omg, push, dv = resolve_static(
+            vel, omg, jnp.minimum(d0p, d0p + vel[2] * dt_s),
+            (zero, zero, zero + 1.0), e, mu, dist_now=d0p)
         pos = _add(pos, push)
         s_imp = list(_scale(dv, 1.0 / inv_mb))
 
         for g in static_geoms:
             gp = tuple(float(v) for v in g["pos"])
             gq = tuple(float(v) for v in g["quat"])
-            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
             kind_s = int(g["kind"])
-            if kind_s == U.GEOM_SPHERE:
-                d2 = _dot(c_local, c_local)
-                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                n_local = _scale(c_local, 1.0 / dn)
-                dist = dn - float(g["size"][0]) - rb_
-            elif kind_s == U.GEOM_BOX:
-                dist, n_local = _sphere_box_generic(c_local, g["size"], rb_)
-            else:
-                dist, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
-            n = _qrot(gq, n_local)
+
+            def eval_g(p, gp=gp, gq=gq, g=g, kind_s=kind_s):
+                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                if kind_s == U.GEOM_SPHERE:
+                    d2 = _dot(c_local, c_local)
+                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    n_local = _scale(c_local, 1.0 / dn)
+                    d = dn - float(g["size"][0]) - rb_
+                elif kind_s == U.GEOM_BOX:
+                    d, n_local = _sphere_box_generic(c_local, g["size"], rb_)
+                else:
+                    d, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
+                return d, _qrot(gq, n_local)
+
+            dist, n, d0 = swept(eval_g, pos, vel)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
-            vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu)
+            vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu,
+                                                dist_now=d0)
             pos = _add(pos, push)
             for i3 in range(3):
                 s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
@@ -2009,24 +2116,36 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         # articulated geoms with FULL-BODY joint-space reactions
         for gi, g in enumerate(art_geoms):
             gp, gq = geom_pos[gi], geom_quat[gi]
-            c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(pos, gp))
             kind = int(g["kind"])
-            if kind == U.GEOM_SPHERE:
-                d2 = _dot(c_local, c_local)
-                dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                n_local = _scale(c_local, 1.0 / dn)
-                dist = dn - float(g["size"][0]) - rb_
-            elif kind == U.GEOM_BOX:
-                dist, n_local = _sphere_box_generic(c_local, g["size"], rb_)
-            else:
-                dist, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
-            n = _qrot(gq, n_local)
-            cp = _sub(pos, _scale(n, rb_))
+
+            def eval_g(p, gp=gp, gq=gq, g=g, kind=kind):
+                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                if kind == U.GEOM_SPHERE:
+                    d2 = _dot(c_local, c_local)
+                    dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                    n_local = _scale(c_local, 1.0 / dn)
+                    d = dn - float(g["size"][0]) - rb_
+                elif kind == U.GEOM_BOX:
+                    d, n_local = _sphere_box_generic(c_local, g["size"], rb_)
+                else:
+                    d, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
+                return d, _qrot(gq, n_local)
+
+            d_now, n_now = eval_g(pos)
+            cp = _sub(pos, _scale(n_now, rb_))
             cols = point_cols(int(g["link"]), cp)
             v_point = j_u(cols)
             v_rel = _sub(vel, v_point)
+            # swept-sample CCD along the relative motion
+            dist, n, found = d_now, n_now, d_now < 0.0
+            for kk in range(1, 5):
+                dk, nk = eval_g(_add(pos, _scale(v_rel, dt_s * kk / 4)))
+                take = (~found) & (dk < 0.0)
+                dist = jnp.where(take, dk, dist)
+                n = tuple(jnp.where(take, nk[i], n[i]) for i in range(3))
+                found = found | (dk < 0.0)
             vn = _dot(v_rel, n)
-            active = (dist + vn * dt_s < 0.0) & (vn < 0.0)  # speculative
+            active = (dist < 0.0) & (vn < 0.0)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
             e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e, 0.0)
@@ -2048,7 +2167,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                            for i in range(nv)])
             for c in range(nv):
                 u[c] = _sad2(u[c], du[c])
-            pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)))
+            pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-d_now, 0.0), 0.0)))
             imp_ref[gi * 3 + 0] = -P[0]
             imp_ref[gi * 3 + 1] = -P[1]
             imp_ref[gi * 3 + 2] = -P[2]

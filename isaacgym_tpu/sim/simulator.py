@@ -84,11 +84,11 @@ def _ball_kappa(ball) -> float:
 
 
 def _ccd_dt(dt_s: float) -> float:
-    """Speculative-contact horizon (PhysX default CCD). Diagnostic override:
-    ``ISAACGYM_TPU_CCD=0`` disables speculative activation on the XLA path
-    (penetration-only contacts, the pre-CCD behavior) for physics bisection.
-    The fused Pallas kernels keep their baked dt (disable them with
-    ``ISAACGYM_TPU_PALLAS=0`` to make this knob effective)."""
+    """Swept-CCD window (one substep). Contacts activate on the minimum
+    closest-point distance sampled along the relative motion over this window
+    (ops.contacts.swept_frame) — edge-correct tunneling protection, PhysX
+    sweep-CCD equivalent. Diagnostic override: ``ISAACGYM_TPU_CCD=0``
+    disables the sweep (penetration-only activation) for physics bisection."""
     import os
     if os.environ.get("ISAACGYM_TPU_CCD", "1") == "0":
         return 0.0
@@ -756,18 +756,20 @@ class Simulator:
                 if scene.spec.terrain is not None:
                     # heightfield ground (N5): bilinear height + fd normal
                     terr = scene.spec.terrain
-                    h = terr.sample(pos[:2])
-                    n = terr.normal(pos[:2])
-                    dist = (pos[2] - h) * n[2] - ball.radius
-                    frame = C.ContactFrame(dist, n, pos - n * ball.radius)
+                    def plane_fn(p):
+                        h = terr.sample(p[:2])
+                        n = terr.normal(p[:2])
+                        dist = (p[2] - h) * n[2] - ball.radius
+                        return C.ContactFrame(dist, n, p - n * ball.radius)
                 else:
-                    frame = C.sphere_plane(pos, ball.radius)
+                    plane_fn = lambda p: C.sphere_plane(p, ball.radius)
+                frame, now_dist = C.swept_frame(plane_fn, pos, vel, _ccd_dt(dt_s))
                 dv, dw, _, active = C.resolve_sphere_impulse_spin(
                     vel, omega, ball.radius, kappa, frame, jnp.zeros(3),
-                    e, mu, self.bounce_threshold, dt=_ccd_dt(dt_s))
+                    e, mu, self.bounce_threshold)
                 vel = vel + dv
                 omega = omega + dw
-                pos = C.depenetrate(pos, frame, active)
+                pos = C.depenetrate(pos, frame._replace(dist=now_dist), active)
                 ncf = ncf.at[ball.body_start].add(dv * (ball.mass / self.dt))
 
             for grp in self.static_groups:
@@ -794,13 +796,20 @@ class Simulator:
                 pb, vb, wb = ball_states[j]
                 ka, kb = _ball_kappa(a), _ball_kappa(b)
                 inv_ma, inv_mb = 1.0 / a.mass, 1.0 / b.mass
+                v_rel = va - vb
+                # swept-sample CCD on the relative separation (edge-correct:
+                # sphere-sphere distance is radial, min over samples)
+                ccd = _ccd_dt(dt_s)
+                offs = ([0.0] if ccd == 0.0 else
+                        [ccd * s / 4 for s in range(5)])
+                dist = jnp.stack([
+                    jnp.linalg.norm(pa - pb + v_rel * t) for t in offs]
+                ).min(axis=0) - a.radius - b.radius
                 d = pa - pb
                 dn = jnp.linalg.norm(d)
                 n = d / jnp.maximum(dn, 1e-9)
-                dist = dn - a.radius - b.radius
-                v_rel = va - vb
                 vn = jnp.sum(v_rel * n)
-                active = (dist + vn * _ccd_dt(dt_s) < 0.0) & (vn < 0.0)  # speculative
+                active = (dist < 0.0) & (vn < 0.0)
                 e, mu = C.combine_material(a.restitution, b.restitution,
                                            a.friction, b.friction)
                 e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
@@ -819,7 +828,9 @@ class Simulator:
                 ball_states[j][1] = vb - P * inv_mb
                 ball_states[i][2] = wa + (ka * inv_ma / a.radius) * Pt * dwdir
                 ball_states[j][2] = wb + (kb * inv_mb / b.radius) * Pt * dwdir
-                push = jnp.where(active, jnp.maximum(-dist, 0.0), 0.0)
+                push = jnp.where(active,
+                                 jnp.maximum(-(dn - a.radius - b.radius), 0.0),
+                                 0.0)
                 ball_states[i][0] = pa + 0.5 * push * n
                 ball_states[j][0] = pb - 0.5 * push * n
                 ncf = ncf.at[a.body_start].add(P / self.dt)
@@ -878,17 +889,21 @@ class Simulator:
     # contact helpers (vectorized over geom groups)
     # ------------------------------------------------------------------
 
-    def _frames_for_group(self, kind, pos, radius, gpos, gquat, size) -> C.ContactFrame:
-        """Sphere-vs-K-geoms of one kind; vectorized over the group axis."""
+    def _frames_for_group(self, kind, pos, radius, gpos, gquat, size,
+                          per_geom_pos: bool = False) -> C.ContactFrame:
+        """Sphere-vs-K-geoms of one kind; vectorized over the group axis.
+        ``per_geom_pos=True`` takes a (k,3) sphere position per geom (used by
+        the swept-CCD samples, whose relative offsets differ per geom)."""
+        ax = 0 if per_geom_pos else None
         if kind == U.GEOM_BOX:
-            fn = lambda gp, gq, s: C.sphere_box(pos, radius, gp, gq, s)
-            return jax.vmap(fn)(gpos, gquat, jnp.asarray(size))
+            fn = lambda p, gp, gq, s: C.sphere_box(p, radius, gp, gq, s)
+            return jax.vmap(fn, in_axes=(ax, 0, 0, 0))(pos, gpos, gquat, jnp.asarray(size))
         if kind == U.GEOM_CYLINDER:
-            fn = lambda gp, gq, s: C.sphere_cylinder(pos, radius, gp, gq, s[0], s[1])
-            return jax.vmap(fn)(gpos, gquat, jnp.asarray(size))
+            fn = lambda p, gp, gq, s: C.sphere_cylinder(p, radius, gp, gq, s[0], s[1])
+            return jax.vmap(fn, in_axes=(ax, 0, 0, 0))(pos, gpos, gquat, jnp.asarray(size))
         if kind == U.GEOM_SPHERE:
-            fn = lambda gp, s: C.sphere_sphere(pos, radius, gp, s[0])
-            return jax.vmap(fn)(gpos, jnp.asarray(size))
+            fn = lambda p, gp, s: C.sphere_sphere(p, radius, gp, s[0])
+            return jax.vmap(fn, in_axes=(ax, 0, 0))(pos, gpos, jnp.asarray(size))
         raise NotImplementedError(kind)
 
     def _ball_vs_static_group(self, root, grp: _GeomGroup, ball, pos, vel,
@@ -896,16 +911,18 @@ class Simulator:
         roots = root[jnp.asarray(grp.actor_index)]                # (k,13)
         gpos = roots[:, 0:3] + rot.quat_rotate(roots[:, 3:7], jnp.asarray(grp.offset_pos))
         gquat = rot.quat_mul(roots[:, 3:7], jnp.asarray(grp.offset_quat))
-        frame = self._frames_for_group(grp.kind, pos, ball.radius, gpos, gquat, grp.size)
+        geom_fn = lambda p: self._frames_for_group(grp.kind, p, ball.radius,
+                                                   gpos, gquat, grp.size)
+        frame, now_dist = C.swept_frame(geom_fn, pos, vel, _ccd_dt(dt_s))
         e, mu = C.combine_material(ball.restitution, jnp.asarray(grp.restitution),
                                    ball.friction, jnp.asarray(grp.friction))
         dv, dw, _, active = C.resolve_sphere_impulse_spin(
             vel[None], omega[None], ball.radius, _ball_kappa(ball), frame,
-            jnp.zeros_like(gpos), e, mu, self.bounce_threshold, dt=_ccd_dt(dt_s))
+            jnp.zeros_like(gpos), e, mu, self.bounce_threshold)
         dv_tot = dv.sum(axis=0)
         vel = vel + dv_tot
         omega = omega + dw.sum(axis=0)
-        push = jnp.where(active[:, None], frame.normal * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
+        push = jnp.where(active[:, None], frame.normal * jnp.maximum(-now_dist, 0.0)[:, None], 0.0)
         return pos + push.sum(axis=0), vel, omega, dv_tot
 
     def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, omega,
@@ -922,20 +939,45 @@ class Simulator:
         bp, bq = pos_ext[ref], quat_ext[ref]
         gpos = bp + rot.quat_rotate(bq, jnp.asarray(grp.offset_pos))
         gquat = rot.quat_mul(bq, jnp.asarray(grp.offset_quat))
-        frame = self._frames_for_group(grp.kind, pos, ball.radius, gpos, gquat, grp.size)
+        geom_fn = lambda p: self._frames_for_group(grp.kind, p, ball.radius,
+                                                   gpos, gquat, grp.size)
+        frame0 = geom_fn(pos)
 
-        J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, frame.point)  # (k,3,nv)
+        J = D.point_jacobians(model, rt["frames"], rt["base_pos"], grp.link, frame0.point)  # (k,3,nv)
         nv = J.shape[-1]
         k = J.shape[0]
         MinvJT = L.chol_solve(rt["chol"], J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)  # (k,3,nv) rows of M^-1 J^T
         v_point = jnp.einsum("kav,v->ka", J, rt["u"])
 
+        # swept-sample CCD along the ball's motion relative to the (frozen-
+        # over-the-substep) geom: the per-geom relative velocity is the mean
+        # over geoms of the group... use the per-geom v_rel via a sweep of the
+        # BALL position against the static-for-this-substep geom poses with
+        # the geom-point velocity folded into the sample offsets per geom.
+        v_rel0 = vel[None] - v_point                              # (k,3)
+        ccd = _ccd_dt(dt_s)
+        if ccd > 0.0:
+            K = 4
+            frames = [frame0] + [
+                self._frames_for_group(
+                    grp.kind, pos[None] + v_rel0 * (ccd * s / K), ball.radius,
+                    gpos, gquat, grp.size, per_geom_pos=True)
+                for s in range(1, K + 1)]
+            dists = jnp.stack([f.dist for f in frames])
+            normals = jnp.stack([f.normal for f in frames])
+            # first penetrating sample = entry-side normal (see swept_frame)
+            j = jnp.argmax(dists < 0.0, axis=0)
+            frame = C.ContactFrame(
+                dist=jnp.take_along_axis(dists, j[None], axis=0)[0],
+                normal=jnp.take_along_axis(normals, j[None, :, None], axis=0)[0],
+                point=frame0.point)
+        else:
+            frame = frame0
+
         n = frame.normal
         v_rel = vel[None] - v_point
         vn = jnp.sum(v_rel * n, axis=-1)
-        # speculative activation (PhysX CCD): fire before a fast ball can
-        # cross a thin geom within the substep
-        active = (frame.dist + vn * _ccd_dt(dt_s) < 0.0) & (vn < 0.0)
+        active = (frame.dist < 0.0) & (vn < 0.0)
         grp_e = jnp.asarray(grp.restitution)
         grp_mu = jnp.asarray(grp.friction)
         if dr is not None:  # humanoid shape-property randomization
@@ -961,7 +1003,7 @@ class Simulator:
         omega = omega + (kappa * inv_m / ball.radius) * (
             jnp.cross(n, t_hat) * Pt[:, None]).sum(axis=0)
         du = -jnp.einsum("kav,ka->v", MinvJT, P)
-        push = jnp.where(active[:, None], n * jnp.maximum(-frame.dist, 0.0)[:, None], 0.0)
+        push = jnp.where(active[:, None], n * jnp.maximum(-frame0.dist, 0.0)[:, None], 0.0)
         return pos + push.sum(axis=0), vel, omega, du, P
 
     def _art_vs_ground_group(self, rt, grp: _GeomGroup, dt_s):
