@@ -553,7 +553,10 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                         ball_cfg: dict, static_geoms: list, art_geoms: list,
                         bounce_threshold: float = 0.2,
                         rows_per_block: int = 8,
-                        with_dr: bool = False):
+                        with_dr: bool = False,
+                        n_true_static: int = None,
+                        max_depenetration: float = 10.0,
+                        art_static: bool = True):
     """One Pallas kernel for the ENTIRE substep of a single-humanoid pingpong
     scene: PD -> dynamics -> integrate -> post FK -> ball gravity -> plane /
     static-box / articulated-geom impulse contacts (with joint-space
@@ -614,6 +617,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     # resolve_sphere_impulse_spin); 0 decouples spin
     kappa = float(ball_cfg.get("kappa", 0.0))
     ng = len(art_geoms)
+    if n_true_static is None:
+        n_true_static = len(static_geoms)
 
     def fk(q_rows):
         fp, fq, axes_w = [], [], []
@@ -1021,6 +1026,73 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             imp_ref[gi * 3 + 1] = -P[1]
             imp_ref[gi * 3 + 2] = -P[2]
 
+        # articulation links vs TRUE static geoms (table slab, net) —
+        # Baumgarte-stabilized impulses on the generalized velocity, the
+        # in-kernel mirror of simulator._art_vs_static_group (the paddle/arm
+        # is stopped by the table, PhysX full-pair narrowphase parity)
+        if art_static:
+            for g in art_geoms:
+                link = int(g["link"])
+                rbound = float(g["radius_bound"])
+                op = tuple(float(v) for v in g["off_pos"])
+                center = _add(fp2[link], _qrot(fq2[link], op))
+                for sg in static_geoms[:n_true_static]:
+                    sgp = tuple(float(v) for v in sg["pos"])
+                    sgq = tuple(float(v) for v in sg["quat"])
+                    c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                                    _sub(center, sgp))
+                    kind_s = int(sg["kind"])
+                    if kind_s == U.GEOM_SPHERE:
+                        d2 = _dot(c_local, c_local)
+                        dnn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                        n_local = _scale(c_local, 1.0 / dnn)
+                        dist = dnn - float(sg["size"][0]) - rbound
+                    elif kind_s == U.GEOM_BOX:
+                        dist, n_local = _sphere_box_generic(c_local, sg["size"], rbound)
+                    else:
+                        dist, n_local = _sphere_cyl_generic(
+                            c_local, sg["size"][0], sg["size"][1], rbound)
+                    n = _qrot(sgq, n_local)
+                    point = _sub(center, _scale(n, rbound))
+                    Jcols = []
+                    for i in range(nd):
+                        if mask[link, i]:
+                            Jcols.append(_cross(axes2[i], _sub(point, fp2[i])))
+                        else:
+                            Jcols.append(None)
+                    v_point = (zero, zero, zero)
+                    for i in range(nd):
+                        if Jcols[i] is not None:
+                            v_point = _add(v_point, _scale(Jcols[i], u[i]))
+                    vn = _dot(v_point, n)
+                    active = (dist < 0.0) & (vn < 0.1)
+                    bias = jnp.minimum(
+                        0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
+                        max_depenetration)
+                    e_as = 0.5 * (float(g["e"]) + float(sg["e"]))
+                    mu_as = 0.5 * (float(g["mu"]) + float(sg["mu"]))
+                    e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e_as, 0.0)
+                    JTn = [(_dot(Jcols[i], n) if Jcols[i] is not None else zero)
+                           for i in range(nd)]
+                    yn = fwd_sub(JTn)
+                    w_n = sum(v_ * v_ for v_ in yn)
+                    Pn = jnp.where(active,
+                                   (-(1.0 + e_eff) * jnp.minimum(vn, 0.0) + bias)
+                                   / jnp.maximum(w_n, 1e-9), 0.0)
+                    vt = _sub(v_point, _scale(n, vn))
+                    vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+                    t_hat = _scale(vt, 1.0 / vt_n)
+                    JTt = [(_dot(Jcols[i], t_hat) if Jcols[i] is not None else zero)
+                           for i in range(nd)]
+                    yt = fwd_sub(JTt)
+                    w_t = sum(v_ * v_ for v_ in yt)
+                    Pt = jnp.where(active,
+                                   jnp.minimum(mu_as * Pn,
+                                               vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+                    du = back_sub([yn[i] * Pn - yt[i] * Pt for i in range(nd)])
+                    for i in range(nd):
+                        u[i] = u[i] + du[i]
+
         for d in range(nd):
             qdn_ref[d] = u[d]
         # ball AssetOptions.max_linear_velocity — PhysX caps the MAGNITUDE
@@ -1104,7 +1176,10 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                               art_geoms: list, gravity, dt_s: float,
                               bounce_threshold: float = 0.2,
-                              rows_per_block: int = 8):
+                              rows_per_block: int = 8,
+                              n_true_static: int = None,
+                              max_depenetration: float = 10.0,
+                              art_static: bool = True):
     """Fully-fused substep for K fixed-base revolute articulations and M free
     balls (the 4/5-actor scenes). Same physics as
     :func:`build_fused_substep`, generalized:
@@ -1126,6 +1201,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if n_true_static is None:
+        n_true_static = len(static_geoms)
     K = len(arts)
     NB = len(balls)
     nds = [a["model"].tree.n_dof for a in arts]
@@ -1603,6 +1680,75 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             bwn_ref[3 * bi + 1] = omg[1]
             bwn_ref[3 * bi + 2] = omg[2]
 
+        # articulation links vs TRUE static geoms (table slab, net) —
+        # mirrors simulator._art_vs_static_group (see build_fused_substep)
+        if art_static:
+            for g in art_geoms:
+                rt = art_rt[int(g["art"])]
+                link = int(g["link"])
+                rbound = float(g["radius_bound"])
+                fp2, fq2, axes2 = rt["fp2"], rt["fq2"], rt["axes2"]
+                nd_a = rt["nd"]
+                center = _add(fp2[link], _qrot(fq2[link],
+                                               tuple(float(v) for v in g["off_pos"])))
+                for sg in static_geoms[:n_true_static]:
+                    sgp = tuple(float(v) for v in sg["pos"])
+                    sgq = tuple(float(v) for v in sg["quat"])
+                    c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                                    _sub(center, sgp))
+                    kind_s = int(sg["kind"])
+                    if kind_s == U.GEOM_SPHERE:
+                        d2 = _dot(c_local, c_local)
+                        dnn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                        n_local = _scale(c_local, 1.0 / dnn)
+                        dist = dnn - float(sg["size"][0]) - rbound
+                    elif kind_s == U.GEOM_BOX:
+                        dist, n_local = _sphere_box_generic(c_local, sg["size"], rbound)
+                    else:
+                        dist, n_local = _sphere_cyl_generic(
+                            c_local, sg["size"][0], sg["size"][1], rbound)
+                    n = _qrot(sgq, n_local)
+                    point = _sub(center, _scale(n, rbound))
+                    Jcols = []
+                    for i in range(nd_a):
+                        if rt["mask"][link, i]:
+                            Jcols.append(_cross(axes2[i], _sub(point, fp2[i])))
+                        else:
+                            Jcols.append(None)
+                    v_point = (zero, zero, zero)
+                    for i in range(nd_a):
+                        if Jcols[i] is not None:
+                            v_point = _add(v_point, _scale(Jcols[i], rt["u"][i]))
+                    vn = _dot(v_point, n)
+                    active = (dist < 0.0) & (vn < 0.1)
+                    bias = jnp.minimum(
+                        0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
+                        max_depenetration)
+                    e_as = 0.5 * (float(g["e"]) + float(sg["e"]))
+                    mu_as = 0.5 * (float(g["mu"]) + float(sg["mu"]))
+                    e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e_as, 0.0)
+                    JTn = [(_dot(Jcols[i], n) if Jcols[i] is not None else zero)
+                           for i in range(nd_a)]
+                    yn = rt["fwd_sub"](JTn)
+                    w_n = sum(v_ * v_ for v_ in yn)
+                    Pn = jnp.where(active,
+                                   (-(1.0 + e_eff) * jnp.minimum(vn, 0.0) + bias)
+                                   / jnp.maximum(w_n, 1e-9), 0.0)
+                    vt = _sub(v_point, _scale(n, vn))
+                    vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+                    t_hat = _scale(vt, 1.0 / vt_n)
+                    JTt = [(_dot(Jcols[i], t_hat) if Jcols[i] is not None else zero)
+                           for i in range(nd_a)]
+                    yt = rt["fwd_sub"](JTt)
+                    w_t = sum(v_ * v_ for v_ in yt)
+                    Pt = jnp.where(active,
+                                   jnp.minimum(mu_as * Pn,
+                                               vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+                    du = rt["back_sub"]([yn[i] * Pn - yt[i] * Pt
+                                         for i in range(nd_a)])
+                    for i in range(nd_a):
+                        rt["u"][i] = rt["u"][i] + du[i]
+
         for gi in range(ng):
             for i3 in range(3):
                 imp_ref[gi * 3 + i3] = geom_imp[gi][i3]
@@ -1684,7 +1830,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                                  drive_mode: int = 0,
                                  max_angular_velocity: float = 64.0,
                                  max_linear_velocity: float = 1000.0,
-                                 rows_per_block: int = 8):
+                                 rows_per_block: int = 8,
+                                 art_static: bool = True):
     """ONE Pallas kernel for the ENTIRE substep of a floating-base humanoid
     pingpong scene (C10: 27-DOF whole-body G1, nv = 33): PD/effort drive ->
     floating-base forward dynamics (mass matrix over [omega, v, qdot] with the
@@ -2171,6 +2318,58 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             imp_ref[gi * 3 + 0] = -P[0]
             imp_ref[gi * 3 + 1] = -P[1]
             imp_ref[gi * 3 + 2] = -P[2]
+
+        # -------- articulation links vs static geoms (table slab, net):
+        # a fallen floating-base humanoid rests ON the table; mirrors
+        # simulator._art_vs_static_group with the full 6+nd-channel Jacobian
+        if art_static:
+            for gi, g in enumerate(art_geoms):
+                center = geom_pos[gi]
+                rbound = float(g["radius_bound"])
+                for sg in static_geoms:
+                    sgp = tuple(float(v) for v in sg["pos"])
+                    sgq = tuple(float(v) for v in sg["quat"])
+                    c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                                    _sub(center, sgp))
+                    kind_s = int(sg["kind"])
+                    if kind_s == U.GEOM_SPHERE:
+                        d2 = _dot(c_local, c_local)
+                        dnn = jnp.sqrt(jnp.maximum(d2, 1e-18))
+                        n_local = _scale(c_local, 1.0 / dnn)
+                        dist = dnn - float(sg["size"][0]) - rbound
+                    elif kind_s == U.GEOM_BOX:
+                        dist, n_local = _sphere_box_generic(c_local, sg["size"], rbound)
+                    else:
+                        dist, n_local = _sphere_cyl_generic(
+                            c_local, sg["size"][0], sg["size"][1], rbound)
+                    n = _qrot(sgq, n_local)
+                    point = _sub(center, _scale(n, rbound))
+                    cols = point_cols(int(g["link"]), point)
+                    v_point = j_u(cols)
+                    vn = _dot(v_point, n)
+                    active = (dist < 0.0) & (vn < 0.1)
+                    bias = jnp.minimum(
+                        0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0), max_depen)
+                    e_as = 0.5 * (float(g["e"]) + float(sg["e"]))
+                    mu_as = 0.5 * (float(g["mu"]) + float(sg["mu"]))
+                    e_eff = jnp.where(jnp.abs(vn) > bounce_threshold, e_as, 0.0)
+                    yn = fwd_sub(jt_dot(cols, n))
+                    w_n = sum(v_ * v_ for v_ in yn if not _isz(v_))
+                    Pn = jnp.where(active,
+                                   (-(1.0 + e_eff) * jnp.minimum(vn, 0.0) + bias)
+                                   / jnp.maximum(w_n, 1e-9), 0.0)
+                    vt = _sub(v_point, _scale(n, vn))
+                    vt_n = jnp.sqrt(jnp.maximum(_dot(vt, vt), 1e-18))
+                    t_hat = _scale(vt, 1.0 / vt_n)
+                    yt = fwd_sub(jt_dot(cols, t_hat))
+                    w_t = sum(v_ * v_ for v_ in yt if not _isz(v_))
+                    Pt = jnp.where(active,
+                                   jnp.minimum(mu_as * Pn,
+                                               vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+                    du = back_sub([_sad2(_sml(yn[i], Pn), _sml(yt[i], -Pt))
+                                   for i in range(nv)])
+                    for c in range(nv):
+                        u[c] = _sad2(u[c], du[c])
 
         # ---------------- articulation vs ground (feet) --------------------
         for gi, g in enumerate(art_geoms):

@@ -1,19 +1,25 @@
-"""Interactive trajectory viewer — the interactive half of the N6 viewer
-capability (reference ``create_viewer`` / ``draw_viewer`` /
-``viewer_camera_look_at`` / ``sync_frame_time``,
-/root/reference/tasks/joint_monkey2_new.py:221-224,696-701).
+"""Interactive viewer — the interactive half of the N6 viewer capability
+(reference ``create_viewer`` / ``draw_viewer`` / ``viewer_camera_look_at`` /
+``sync_frame_time``, /root/reference/tasks/joint_monkey2_new.py:221-224,696-701).
 
 On a headless TPU pod there is no display server, so "interactive" means a
-local HTTP viewer: it serves the recorded trajectory through the same
-software rasterizer the offline renderer uses, with an orbit camera
-(mouse-drag), zoom (wheel), frame scrubbing, and playback — the capability
-set of the reference viewer's camera control, minus a windowing system.
+local HTTP viewer: the same software rasterizer as the offline renderer,
+with an orbit camera (mouse-drag), zoom (wheel), frame scrubbing, and
+playback — the capability set of the reference viewer's camera control,
+minus a windowing system. Two sources:
 
+  # recorded trajectory
   python -m isaacgym_tpu.viewer.live traj.npz [--port 8008] [--env 0]
-  # then open http://localhost:8008/
 
-Frames are rendered on demand (one JPEG per request), so scrubbing and
-orbiting cost nothing until you look.
+  # LIVE SIM — steps the environment in-process as you play/scrub forward
+  # (the reference viewer's step-the-sim loop, joint_monkey2_new.py:624-701);
+  # optional policy checkpoint, else zero actions
+  python -m isaacgym_tpu.viewer.live --task HumanoidPingpongTiltNoEarlyStopG1 \
+      [--checkpoint runs/exp/ckpt_final] [--device cpu] [--port 8008]
+
+Frames are rendered on demand (one JPEG per request); in live mode stepping
+happens lazily as the playhead advances, and already-simulated frames stay
+scrubbable from a buffer.
 """
 
 from __future__ import annotations
@@ -52,7 +58,9 @@ let T=1, t=0, az=-47, el=26, dist=4.2, playing=false, dragging=false,
     lx=0, ly=0, inflight=false, dirty=true;
 const img=document.getElementById('frame'), slider=document.getElementById('t'),
       label=document.getElementById('label'), playBtn=document.getElementById('play');
-fetch('/meta').then(r=>r.json()).then(m=>{T=m.T; slider.max=T-1; dirty=true;});
+function meta(){fetch('/meta').then(r=>r.json()).then(m=>{
+  if(m.T!==T){T=m.T; slider.max=T-1; dirty=true;}});}
+meta(); setInterval(meta, 2000);  // live-sim sources grow T as they step
 function url(){return `/frame?t=${t}&az=${az.toFixed(1)}&el=${el.toFixed(1)}&dist=${dist.toFixed(2)}`;}
 function tick(){
   if((dirty||playing) && !inflight){
@@ -133,6 +141,88 @@ class _Viewer:
         return bytes(buf)
 
 
+class _LiveSim:
+    """Frame source that STEPS a live environment as the playhead advances.
+
+    Drop-in for :class:`_Viewer`: ``T`` grows as frames are simulated (the
+    page polls ``/meta``); requesting frame ``t`` lazily steps the sim up to
+    ``t`` and every simulated frame stays scrubbable from the buffer.
+    """
+
+    def __init__(self, task: str, checkpoint: str = "", device: str = "cpu",
+                 env_index: int = 0, seed: int = 17,
+                 target=(1.2, 0.0, 0.8), size=(960, 540),
+                 max_frames: int = 5000):
+        import jax
+        if device == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import isaacgym_tpu
+        from isaacgym_tpu.viewer.render import scene_geom_table
+
+        self._jnp = jnp
+        self.env = isaacgym_tpu.make(seed=seed, task=task, num_envs=1)
+        self.geoms = scene_geom_table(self.env.scene)
+        self.markers = None
+        self.target = np.asarray(target, np.float64)
+        self.size = size
+        self.max_frames = max_frames
+        self._lock = threading.Lock()
+
+        self._policy = None
+        if checkpoint:
+            from isaacgym_tpu.utils.config import compose
+            from isaacgym_tpu.rl.ppo import PPOConfig, PPOTrainer
+            from isaacgym_tpu.rl import checkpoint as ckpt
+            cfg = compose(task, ["num_envs=1"])
+            trainer = PPOTrainer(self.env,
+                                 PPOConfig.from_train_cfg(cfg.get("train", {})),
+                                 seed=seed)
+            ts = ckpt.restore(checkpoint, trainer.init_state())
+            def policy(obs):
+                mu, log_sig, value = trainer._policy(ts.params, ts.obs_stats, obs)
+                return mu
+            self._policy = policy
+
+        self._state, self._obs = self.env.reset()
+        self._frames = [np.asarray(
+            self.env.sim.rigid_body_states(self._state.sim)[0])]
+
+    @property
+    def T(self) -> int:
+        # report one beyond the buffer so the playhead can keep advancing
+        return min(len(self._frames) + 1, self.max_frames)
+
+    def _step(self) -> None:
+        jnp = self._jnp
+        actions = (self._policy(self._obs) if self._policy is not None
+                   else jnp.zeros((1, self.env.num_actions)))
+        self._state, self._obs, rew, done, info = self.env.step(
+            self._state, actions)
+        self._frames.append(np.asarray(
+            self.env.sim.rigid_body_states(self._state.sim)[0]))
+
+    def frame_jpeg(self, t: int, az_deg: float, el_deg: float,
+                   dist: float) -> bytes:
+        import cv2
+        with self._lock:
+            t = int(np.clip(t, 0, self.max_frames - 1))
+            while len(self._frames) <= t:
+                self._step()
+            az, el = np.radians(az_deg), np.radians(el_deg)
+            eye = self.target + dist * np.asarray([
+                np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)])
+            eye[2] = max(eye[2], 0.05)
+            frame = next(render_frames(self._frames[t][None], self.geoms,
+                                       None, size=self.size, eye=eye,
+                                       target=self.target))
+        ok, buf = cv2.imencode(".jpg", frame,
+                               [int(cv2.IMWRITE_JPEG_QUALITY), 85])
+        if not ok:
+            raise RuntimeError("jpeg encode failed")
+        return bytes(buf)
+
+
 def make_handler(viewer: _Viewer):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -177,13 +267,35 @@ def serve(npz_path: str, port: int = 8008, env: int = 0) -> ThreadingHTTPServer:
     return httpd
 
 
+def serve_live(task: str, checkpoint: str = "", device: str = "cpu",
+               port: int = 8008, seed: int = 17) -> ThreadingHTTPServer:
+    viewer = _LiveSim(task, checkpoint=checkpoint, device=device, seed=seed)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(viewer))
+    src = f"policy {checkpoint}" if checkpoint else "zero actions"
+    print(f"LIVE sim {task} ({src}) at http://localhost:{port}/", flush=True)
+    return httpd
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("npz")
+    ap.add_argument("npz", nargs="?", default=None,
+                    help="recorded trajectory (omit with --task for live sim)")
+    ap.add_argument("--task", default=None,
+                    help="step a LIVE sim of this registered task instead")
+    ap.add_argument("--checkpoint", default="",
+                    help="policy checkpoint for the live sim (default: zeros)")
+    ap.add_argument("--device", default="cpu")
+    ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--port", type=int, default=8008)
     ap.add_argument("--env", type=int, default=0)
     args = ap.parse_args(argv)
-    httpd = serve(args.npz, port=args.port, env=args.env)
+    if args.task:
+        httpd = serve_live(args.task, checkpoint=args.checkpoint,
+                           device=args.device, port=args.port, seed=args.seed)
+    elif args.npz:
+        httpd = serve(args.npz, port=args.port, env=args.env)
+    else:
+        ap.error("provide a trajectory npz or --task for a live sim")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
