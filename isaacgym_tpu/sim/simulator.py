@@ -1083,9 +1083,6 @@ class Simulator:
         J = D.point_jacobians(model, rt["frames"], rt["base_pos"], links, points)
         nv = J.shape[-1]
         MinvJT = L.chol_solve(rt["chol"], J.reshape(k * s * 3, nv).T).T.reshape(k * s, 3, nv)
-        v_point = jnp.einsum("kav,v->ka", J, rt["u"])
-        vn = jnp.sum(v_point * n, axis=-1)
-        active = (dist < 0.0) & (vn < 0.1)
         bias = jnp.minimum(0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
                            self.max_depenetration)
         e, mu = C.combine_material(
@@ -1093,19 +1090,35 @@ class Simulator:
             jnp.tile(jnp.asarray(sgrp.restitution), k),
             jnp.repeat(jnp.asarray(grp.friction), s),
             jnp.tile(jnp.asarray(sgrp.friction), k))
-        e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
         w_n = jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)
-        Pn = jnp.where(active,
-                       (-(1.0 + e_eff) * jnp.minimum(vn, 0.0) + bias)
-                       / jnp.maximum(w_n, 1e-9), 0.0)
-        vt = v_point - vn[:, None] * n
-        vt_norm = jnp.linalg.norm(vt, axis=-1)
-        t_hat = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
-        w_t = jnp.einsum("ka,kav,kbv,kb->k", t_hat, J, MinvJT, t_hat)
-        Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
-        P = Pn[:, None] * n - Pt[:, None] * t_hat                        # (k*s,3)
-        du = jnp.einsum("kav,ka->v", MinvJT, P)
-        return du, P.reshape(k, s, 3).sum(axis=1), None
+
+        # SEQUENTIAL (Gauss-Seidel) resolution, matching the fused kernels:
+        # each pair sees the velocity already corrected by earlier pairs —
+        # simultaneous resolution double-counts when several links land at
+        # once (two feet hitting the table bounced the body at full speed)
+        u = rt["u"]
+        u0 = u
+        P_rows = []
+        for i in range(k * s):
+            v_point = J[i] @ u
+            vn_i = jnp.sum(v_point * n[i])
+            active = (dist[i] < 0.0) & (vn_i < 0.1)
+            e_eff = jnp.where(jnp.abs(vn_i) > self.bounce_threshold, e[i], 0.0)
+            Pn = jnp.where(active,
+                           (-(1.0 + e_eff) * jnp.minimum(vn_i, 0.0) + bias[i])
+                           / jnp.maximum(w_n[i], 1e-9), 0.0)
+            vt = v_point - vn_i * n[i]
+            vt_norm = jnp.linalg.norm(vt)
+            t_hat = vt / jnp.maximum(vt_norm, 1e-9)
+            w_t = jnp.einsum("a,av,bv,b->", t_hat, J[i], MinvJT[i], t_hat)
+            Pt = jnp.where(active,
+                           jnp.minimum(mu[i] * Pn,
+                                       vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
+            P = Pn * n[i] - Pt * t_hat
+            u = u + jnp.einsum("av,a->v", MinvJT[i], P)
+            P_rows.append(P)
+        P_all = jnp.stack(P_rows)                                        # (k*s,3)
+        return u - u0, P_all.reshape(k, s, 3).sum(axis=1), None
 
     def _art_vs_ground_group(self, rt, grp: _GeomGroup, dt_s):
         """Articulation geoms (bounding spheres) vs ground plane; Baumgarte-
@@ -1133,9 +1146,6 @@ class Simulator:
         nv = J.shape[-1]
         k = J.shape[0]
         MinvJT = L.chol_solve(rt["chol"], J.reshape(k * 3, nv).T).T.reshape(k, 3, nv)
-        v_point = jnp.einsum("kav,v->ka", J, rt["u"])
-        vn = v_point[:, 2]
-        active = (dist < 0.0) & (vn < 0.1)
         # bias capped at max_depenetration_velocity (PhysX sim param): deep
         # ragdoll penetration must not translate into unbounded push velocity
         bias = jnp.minimum(0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
@@ -1143,15 +1153,28 @@ class Simulator:
         plane = self.scene.spec.plane
         e, mu = C.combine_material(0.0, plane.restitution, 0.8, plane.dynamic_friction)
         w_n = jnp.einsum("ka,kav,kbv,kb->k", n, J, MinvJT, n)
-        Pn = jnp.where(active,
-                       (-(1.0 + e) * jnp.minimum(vn, 0.0) + bias) / jnp.maximum(w_n, 1e-9), 0.0)
-        vt = v_point - vn[:, None] * n
-        vt_norm = jnp.linalg.norm(vt, axis=-1)
-        t_hat = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
-        w_t = jnp.einsum("ka,kav,kbv,kb->k", t_hat, J, MinvJT, t_hat)
-        Pt = jnp.where(active, jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
-        P = Pn[:, None] * n - Pt[:, None] * t_hat
-        return jnp.einsum("kav,ka->v", MinvJT, P)
+        # sequential (Gauss-Seidel) per-geom resolution — see
+        # _art_vs_static_group; simultaneous impulses double-count when
+        # several links touch down in the same substep
+        u = rt["u"]
+        u0 = u
+        for i in range(k):
+            v_point = J[i] @ u
+            vn_i = jnp.sum(v_point * n[i])
+            active = (dist[i] < 0.0) & (vn_i < 0.1)
+            Pn = jnp.where(active,
+                           (-(1.0 + e) * jnp.minimum(vn_i, 0.0) + bias[i])
+                           / jnp.maximum(w_n[i], 1e-9), 0.0)
+            vt = v_point - vn_i * n[i]
+            vt_norm = jnp.linalg.norm(vt)
+            t_hat = vt / jnp.maximum(vt_norm, 1e-9)
+            w_t = jnp.einsum("a,av,bv,b->", t_hat, J[i], MinvJT[i], t_hat)
+            Pt = jnp.where(active,
+                           jnp.minimum(mu * Pn,
+                                       vt_norm / jnp.maximum(w_t, 1e-9)), 0.0)
+            P = Pn * n[i] - Pt * t_hat
+            u = u + jnp.einsum("av,a->v", MinvJT[i], P)
+        return u - u0
 
     # ------------------------------------------------------------------
     # state reporting (tensor-API parity, N2)

@@ -297,3 +297,70 @@ def test_c10_floating_fused_ground_support(c10):
     z = np.asarray(state.root[:, hum, 2])
     assert np.isfinite(z).all()
     assert (z > z0 - 0.35).all()
+
+
+BLOCK_URDF = """
+<robot name="block">
+  <link name="block">
+    <inertial><mass value="10"/><inertia ixx="1" iyy="1" izz="1" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><origin xyz="0 0 0"/><geometry><box size="1.4 1.4 0.5"/></geometry></collision>
+  </link>
+</robot>
+"""
+
+
+@pytest.fixture(scope="module")
+def toy_on_block():
+    biped = K.compile_tree(U.parse_urdf(TOY_URDF, from_string=True),
+                           floating_base=True)
+    ball = K.compile_tree(U.parse_urdf(BALL_URDF, from_string=True))
+    block = K.compile_tree(U.parse_urdf(BLOCK_URDF, from_string=True))
+    kp = np.full(4, 40.0, np.float32)
+    scene = compile_scene(SceneSpec(
+        actors=[
+            ActorSpec("biped", biped, pos=(0, 0, 1.6), fixed_base=False,
+                      restitution=0.3, friction=0.6, stiffness=kp, damping=kp / 20),
+            ActorSpec("block", block, pos=(0, 0, 0.25), fixed_base=True,
+                      restitution=0.1, friction=0.8),
+            ActorSpec("ball", ball, pos=(1.5, 0.05, 1.0), fixed_base=False,
+                      restitution=1.3, friction=0.2),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    ))
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    return sim
+
+
+def test_floating_fused_art_static_parity(toy_on_block):
+    """Dropping the floating biped ONTO a static block exercises the
+    articulation-link-vs-static narrowphase in both paths: fused == XLA,
+    and the biped rests ON the block (top z=0.5) instead of falling
+    through to the ground plane."""
+    sim = toy_on_block
+    assert sim._fused_floating is not None
+    B = 128
+    state0 = sim.initial_state(B)
+    nd = sim.scene.num_dofs
+    tgt = jnp.zeros((B, nd))
+    eff = jnp.zeros((B, nd))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(60):
+        sf = fused(sf, tgt, eff)
+        sx = xla(sx, tgt, eff)
+
+    hum = sim.scene.articulations[0].actor_index
+    np.testing.assert_allclose(np.asarray(sf.root[:, hum, 0:3]),
+                               np.asarray(sx.root[:, hum, 0:3]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sf.dof_pos), np.asarray(sx.dof_pos),
+                               atol=2e-2)
+    # both paths: the biped is supported by the block (feet sphere r=0.08,
+    # legs hang 0.64 below the base) — base z ~ 0.5 + 0.64 + 0.08 band,
+    # far above the ground-support height (~0.72) minus the block... the
+    # discriminating bound is that it does NOT reach the ground-plane
+    # support height (it stands ~0.5 higher)
+    assert float(np.asarray(sf.root[:, hum, 2]).min()) > 0.95
+    assert float(np.asarray(sx.root[:, hum, 2]).min()) > 0.95
