@@ -922,7 +922,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                     d, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
                 return d, _qrot(gq, n_local)
 
-            dist, n, dist0 = _swept_eval(eval_g, pos, vel)
+            dist, n, dist0 = _swept_eval(eval_g, pos, vel, samples=2)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
             vel, omg, push, dv = _resolve_static(vel, omg, dist, n, e, mu,
@@ -1523,7 +1523,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                         d, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
                     return d, _qrot(gq, n_local)
 
-                dist, n, d0 = swept(eval_g, pos, vel)
+                dist, n, d0 = swept(eval_g, pos, vel, samples=2)
                 e = 0.5 * (e_ball + float(g["e"]))
                 mu = 0.5 * (mu_ball + float(g["mu"]))
                 vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu,
@@ -2249,7 +2249,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                     d, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
                 return d, _qrot(gq, n_local)
 
-            dist, n, d0 = swept(eval_g, pos, vel)
+            dist, n, d0 = swept(eval_g, pos, vel, samples=2)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
             vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu,

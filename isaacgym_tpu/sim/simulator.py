@@ -954,7 +954,9 @@ class Simulator:
         gquat = rot.quat_mul(roots[:, 3:7], jnp.asarray(grp.offset_quat))
         geom_fn = lambda p: self._frames_for_group(grp.kind, p, ball.radius,
                                                    gpos, gquat, grp.size)
-        frame, now_dist = C.swept_frame(geom_fn, pos, vel, _ccd_dt(dt_s))
+        # K=2 suffices for statics: slab/net capture windows (>=45 mm)
+        # exceed the per-substep ball motion (<=36 mm at C6 speeds)
+        frame, now_dist = C.swept_frame(geom_fn, pos, vel, _ccd_dt(dt_s), samples=2)
         e, mu = C.combine_material(ball.restitution, jnp.asarray(grp.restitution),
                                    ball.friction, jnp.asarray(grp.friction))
         dv, dw, _, active = C.resolve_sphere_impulse_spin(
