@@ -1,7 +1,8 @@
 """Fused articulated-physics Pallas TPU kernels (the hot ops).
 
 Four kernel builders replace the ~400 small XLA kernels per substep for
-all-revolute articulations (prismatic joints keep the XLA path):
+revolute/prismatic articulations (per-dof joint types are compile-time
+constants, so the branches fold at trace time):
 
   * ``build_arm_step`` — fixed-base dynamics only (contacts stay in the
     vmapped XLA phase consuming the exported frames and packed Cholesky
@@ -49,15 +50,21 @@ from isaacgym_tpu.ops.dynamics import ArticulationModel
 LANE = 128
 
 
+def _joint_types_ok(model: ArticulationModel) -> bool:
+    return bool(np.all((model.tree.dof_type == U.JOINT_REVOLUTE)
+                       | (model.tree.dof_type == U.JOINT_PRISMATIC)))
+
+
 def supports(model: ArticulationModel) -> bool:
-    """Kernel coverage: fixed base, revolute joints only."""
-    return (not model.floating) and bool(np.all(model.tree.dof_type == U.JOINT_REVOLUTE))
+    """Kernel coverage: fixed base, revolute + prismatic joints."""
+    return (not model.floating) and _joint_types_ok(model)
 
 
 def supports_floating(model: ArticulationModel) -> bool:
-    """Floating-base kernel coverage: all-revolute joint dofs (the 27-DOF
-    whole-body G1, reference tasks/humanoid_pingpong_3_actor_all_dof.py:462)."""
-    return model.floating and bool(np.all(model.tree.dof_type == U.JOINT_REVOLUTE))
+    """Floating-base kernel coverage: revolute + prismatic joint dofs (the
+    27-DOF whole-body G1, reference
+    tasks/humanoid_pingpong_3_actor_all_dof.py:462, is all-revolute)."""
+    return model.floating and _joint_types_ok(model)
 
 
 # --- symbolic scalar helpers: Python-float constants fold/prune at trace time
@@ -294,6 +301,7 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
     gx, gy, gz = [float(v) for v in gravity]
     kp = np.asarray(kp, np.float64)
     kd = np.asarray(kd, np.float64)
+    rev = [bool(t == U.JOINT_REVOLUTE) for t in tree.dof_type]
 
     # base pose as constants
     bq = tuple(float(v) for v in base_quat)
@@ -320,11 +328,14 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
             # constant-quat multiply folded scalar-wise
             cq = tuple(float(c) for c in pre_quat[d])
             jq = _qmul(pq, cq)
-            half = 0.5 * q_rows[d]
-            s, c = jnp.sin(half), jnp.cos(half)
             ax, ay, az = [float(v) for v in axis[d]]
-            rq = (ax * s, ay * s, az * s, c)
-            bq_d = _qmul(jq, rq)
+            if rev[d]:
+                half = 0.5 * q_rows[d]
+                s, c = jnp.sin(half), jnp.cos(half)
+                bq_d = _qmul(jq, (ax * s, ay * s, az * s, c))
+            else:
+                bq_d = jq
+                jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
             fp.append(jp)
             fq.append(bq_d)
             axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
@@ -367,8 +378,12 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
             r = _sub(fp[d], o_p)
             ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
             a_w = axes_w[d]
-            w_d = _add(w_p, _scale(a_w, qd[d]))
-            wd_d = _add(wd_p, _scale(_cross(w_p, a_w), qd[d]))
+            if rev[d]:
+                w_d = _add(w_p, _scale(a_w, qd[d]))
+                wd_d = _add(wd_p, _scale(_cross(w_p, a_w), qd[d]))
+            else:
+                w_d, wd_d = w_p, wd_p
+                ao_d = _add(ao_d, _scale(_cross(w_p, a_w), 2.0 * qd[d]))
             w_list.append(w_d)
             wd_list.append(wd_d)
             ao_list.append(ao_d)
@@ -393,14 +408,17 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
         for l in range(nd):
             for i in range(nd):
                 if mask[l, i]:
-                    Jlin[l][i] = _cross(axes_w[i], _sub(com_w[l], fp[i]))
+                    Jlin[l][i] = (_cross(axes_w[i], _sub(com_w[l], fp[i]))
+                                  if rev[i] else axes_w[i])
 
         rhs = []
         for i in range(nd):
             acc = zero
             for l in range(nd):
                 if mask[l, i]:
-                    acc = acc + _dot(axes_w[i], n_list[l]) + _dot(Jlin[l][i], f_list[l])
+                    if rev[i]:
+                        acc = acc + _dot(axes_w[i], n_list[l])
+                    acc = acc + _dot(Jlin[l][i], f_list[l])
             rhs.append(tau[i] - acc)
 
         M = [[None] * nd for _ in range(nd)]
@@ -409,8 +427,9 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
                 acc = zero
                 for l in range(nd):
                     if mask[l, i] and mask[l, j]:
-                        acc = (acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
-                               + float(m_l[l]) * _dot(Jlin[l][i], Jlin[l][j]))
+                        if rev[i] and rev[j]:
+                            acc = acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
+                        acc = acc + float(m_l[l]) * _dot(Jlin[l][i], Jlin[l][j])
                 if i == j:
                     acc = acc + float(armature[i])
                 M[i][j] = acc
@@ -619,6 +638,9 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
     ng = len(art_geoms)
     if n_true_static is None:
         n_true_static = len(static_geoms)
+    # per-dof joint type (compile-time): revolute rotates about the axis,
+    # prismatic translates along it (kinematics.fk_dof_frames semantics)
+    rev = [bool(t == U.JOINT_REVOLUTE) for t in tree.dof_type]
 
     def fk(q_rows):
         fp, fq, axes_w = [], [], []
@@ -630,10 +652,14 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 pp, pq = fp[parent[d]], fq[parent[d]]
             jp = _add(pp, _qrot(pq, tuple(float(c) for c in pre_pos[d])))
             jq = _qmul(pq, tuple(float(c) for c in pre_quat[d]))
-            half = 0.5 * q_rows[d]
-            s, c = jnp.sin(half), jnp.cos(half)
             ax, ay, az = [float(v) for v in axis[d]]
-            bq_d = _qmul(jq, (ax * s, ay * s, az * s, c))
+            if rev[d]:
+                half = 0.5 * q_rows[d]
+                s, c = jnp.sin(half), jnp.cos(half)
+                bq_d = _qmul(jq, (ax * s, ay * s, az * s, c))
+            else:
+                bq_d = jq
+                jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
             fp.append(jp)
             fq.append(bq_d)
             axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
@@ -784,8 +810,13 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             r = _sub(fp[d], o_p)
             ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
             a_w = axes_w[d]
-            w_d = _add(w_p, _scale(a_w, qd[d]))
-            wd_d = _add(wd_p, _scale(_cross(w_p, a_w), qd[d]))
+            if rev[d]:
+                w_d = _add(w_p, _scale(a_w, qd[d]))
+                wd_d = _add(wd_p, _scale(_cross(w_p, a_w), qd[d]))
+            else:
+                # prismatic: no angular contribution; Coriolis 2 w x (a qd)
+                w_d, wd_d = w_p, wd_p
+                ao_d = _add(ao_d, _scale(_cross(w_p, a_w), 2.0 * qd[d]))
             w_list.append(w_d); wd_list.append(wd_d); ao_list.append(ao_d)
 
         f_list, n_list = [], []
@@ -799,18 +830,23 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             n_list.append(_scale3x(_add(_sym_mat_vec(Iw, wd_list[l]),
                                         _cross(w_list[l], _sym_mat_vec(Iw, w_list[l]))), ms))
 
+        # Jacobian columns: revolute -> axis x r (linear), axis (angular);
+        # prismatic -> axis (linear), zero (angular)
         Jlin = [[None] * nd for _ in range(nd)]
         for l in range(nd):
             for i in range(nd):
                 if mask[l, i]:
-                    Jlin[l][i] = _cross(axes_w[i], _sub(com_w[l], fp[i]))
+                    Jlin[l][i] = (_cross(axes_w[i], _sub(com_w[l], fp[i]))
+                                  if rev[i] else axes_w[i])
 
         rhs = []
         for i in range(nd):
             acc = zero
             for l in range(nd):
                 if mask[l, i]:
-                    acc = acc + _dot(axes_w[i], n_list[l]) + _dot(Jlin[l][i], f_list[l])
+                    if rev[i]:
+                        acc = acc + _dot(axes_w[i], n_list[l])
+                    acc = acc + _dot(Jlin[l][i], f_list[l])
             rhs.append(tau[i] - acc)
 
         M = [[None] * nd for _ in range(nd)]
@@ -819,8 +855,9 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 acc = zero
                 for l in range(nd):
                     if mask[l, i] and mask[l, j]:
-                        acc = (acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
-                               + float(m_l[l]) * _dot(Jlin[l][i], Jlin[l][j]))
+                        if rev[i] and rev[j]:
+                            acc = acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
+                        acc = acc + float(m_l[l]) * _dot(Jlin[l][i], Jlin[l][j])
                 acc = acc * ms
                 if i == j:
                     acc = acc + float(armature[i])
@@ -966,7 +1003,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             Jcols = []
             for i in range(nd):
                 if mask[link, i]:
-                    Jcols.append(_cross(axes2[i], _sub(cp, fp2[i])))
+                    Jcols.append(_cross(axes2[i], _sub(cp, fp2[i]))
+                                 if rev[i] else axes2[i])
                 else:
                     Jcols.append(None)
 
@@ -1057,7 +1095,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                     Jcols = []
                     for i in range(nd):
                         if mask[link, i]:
-                            Jcols.append(_cross(axes2[i], _sub(point, fp2[i])))
+                            Jcols.append(_cross(axes2[i], _sub(point, fp2[i]))
+                                         if rev[i] else axes2[i])
                         else:
                             Jcols.append(None)
                     v_point = (zero, zero, zero)
@@ -1222,6 +1261,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             pre_pos=tree.dof_pre_pos.astype(np.float64),
             pre_quat=tree.dof_pre_quat.astype(np.float64),
             axis=tree.dof_axis.astype(np.float64),
+            rev=[bool(t == U.JOINT_REVOLUTE) for t in tree.dof_type],
             mask=a["model"].ancestor_mask[:tree.n_dof, :tree.n_dof],
             m_l=tree.comp_mass.astype(np.float64),
             com_l=tree.comp_com.astype(np.float64),
@@ -1270,10 +1310,14 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                         pp, pq = fp[c["parent"][d]], fq[c["parent"][d]]
                     jp = _add(pp, _qrot(pq, tuple(float(v) for v in c["pre_pos"][d])))
                     jq = _qmul(pq, tuple(float(v) for v in c["pre_quat"][d]))
-                    half = 0.5 * q_rows[d]
-                    s_, co = jnp.sin(half), jnp.cos(half)
                     ax, ay, az = [float(v) for v in c["axis"][d]]
-                    bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, co))
+                    if c["rev"][d]:
+                        half = 0.5 * q_rows[d]
+                        s_, co = jnp.sin(half), jnp.cos(half)
+                        bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, co))
+                    else:
+                        bq_d = jq
+                        jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
                     fp.append(jp)
                     fq.append(bq_d)
                     axes_w.append(_qrot(bq_d, tuple(float(v) for v in c["axis"][d])))
@@ -1297,8 +1341,13 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 r = _sub(fp[d], o_p)
                 ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
                 a_w = axes_w[d]
-                w_list.append(_add(w_p, _scale(a_w, qd[d])))
-                wd_list.append(_add(wd_p, _scale(_cross(w_p, a_w), qd[d])))
+                if c["rev"][d]:
+                    w_list.append(_add(w_p, _scale(a_w, qd[d])))
+                    wd_list.append(_add(wd_p, _scale(_cross(w_p, a_w), qd[d])))
+                else:
+                    w_list.append(w_p)
+                    wd_list.append(wd_p)
+                    ao_d = _add(ao_d, _scale(_cross(w_p, a_w), 2.0 * qd[d]))
                 ao_list.append(ao_d)
 
             f_list, n_list = [], []
@@ -1316,14 +1365,17 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             for l in range(nd):
                 for i in range(nd):
                     if c["mask"][l, i]:
-                        Jlin[l][i] = _cross(axes_w[i], _sub(com_w[l], fp[i]))
+                        Jlin[l][i] = (_cross(axes_w[i], _sub(com_w[l], fp[i]))
+                                      if c["rev"][i] else axes_w[i])
 
             rhs = []
             for i in range(nd):
                 acc = zero
                 for l in range(nd):
                     if c["mask"][l, i]:
-                        acc = acc + _dot(axes_w[i], n_list[l]) + _dot(Jlin[l][i], f_list[l])
+                        if c["rev"][i]:
+                            acc = acc + _dot(axes_w[i], n_list[l])
+                        acc = acc + _dot(Jlin[l][i], f_list[l])
                 rhs.append(tau[i] - acc)
 
             M = [[None] * nd for _ in range(nd)]
@@ -1332,8 +1384,9 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     acc = zero
                     for l in range(nd):
                         if c["mask"][l, i] and c["mask"][l, j]:
-                            acc = (acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
-                                   + float(c["m_l"][l]) * _dot(Jlin[l][i], Jlin[l][j]))
+                            if c["rev"][i] and c["rev"][j]:
+                                acc = acc + _dot(axes_w[i], _sym_mat_vec(I_w[l], axes_w[j]))
+                            acc = acc + float(c["m_l"][l]) * _dot(Jlin[l][i], Jlin[l][j])
                     if i == j:
                         acc = acc + float(c["armature"][i])
                     M[i][j] = acc
@@ -1389,7 +1442,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             fp2, fq2, axes2 = fk_a(q_new)
             art_rt.append(dict(u=u, fp2=fp2, fq2=fq2, axes2=axes2,
                                fwd_sub=fwd_sub, back_sub=back_sub,
-                               mask=c["mask"], nd=nd, off=o))
+                               mask=c["mask"], rev=c["rev"], nd=nd, off=o))
 
         # zero the geom impulse accumulators
         geom_imp = [[zero, zero, zero] for _ in range(ng)]
@@ -1560,7 +1613,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 Jcols = []
                 for i in range(nd_a):
                     if rt["mask"][link, i]:
-                        Jcols.append(_cross(axes2[i], _sub(cp, fp2[i])))
+                        Jcols.append(_cross(axes2[i], _sub(cp, fp2[i]))
+                                     if rt["rev"][i] else axes2[i])
                     else:
                         Jcols.append(None)
                 v_point = (zero, zero, zero)
@@ -1712,7 +1766,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     Jcols = []
                     for i in range(nd_a):
                         if rt["mask"][link, i]:
-                            Jcols.append(_cross(axes2[i], _sub(point, fp2[i])))
+                            Jcols.append(_cross(axes2[i], _sub(point, fp2[i]))
+                                         if rt["rev"][i] else axes2[i])
                         else:
                             Jcols.append(None)
                     v_point = (zero, zero, zero)
@@ -1863,6 +1918,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
     pre_pos = tree.dof_pre_pos.astype(np.float64)
     pre_quat = tree.dof_pre_quat.astype(np.float64)
     axis = tree.dof_axis.astype(np.float64)
+    rev = [bool(t == U.JOINT_REVOLUTE) for t in tree.dof_type]
     # (nl, nd) incl. the zero base row; base columns handled symbolically
     mask = model.ancestor_mask
     m_l = model.link_mass.astype(np.float64)          # (nl,) incl. base
@@ -1933,10 +1989,14 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                     pp, pq = fp[parent[d]], fq[parent[d]]
                 jp = _add(pp, _qrot(pq, tuple(float(v) for v in pre_pos[d])))
                 jq = _qmul(pq, tuple(float(v) for v in pre_quat[d]))
-                half = 0.5 * q_rows[d]
-                s_, c_ = jnp.sin(half), jnp.cos(half)
                 ax, ay, az = [float(v) for v in axis[d]]
-                bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, c_))
+                if rev[d]:
+                    half = 0.5 * q_rows[d]
+                    s_, c_ = jnp.sin(half), jnp.cos(half)
+                    bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, c_))
+                else:
+                    bq_d = jq
+                    jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
                 fp.append(jp)
                 fq.append(bq_d)
                 axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
@@ -1963,8 +2023,13 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             r = _sub(fp[d], o_p)
             ao_d = _add(ao_p, _add(_cross(wd_p, r), _cross(w_p, _cross(w_p, r))))
             a_w = axes_w[d]
-            w_list.append(_add(w_p, _scale(a_w, qd[d])))
-            wd_list.append(_add(wd_p, _scale(_cross(w_p, a_w), qd[d])))
+            if rev[d]:
+                w_list.append(_add(w_p, _scale(a_w, qd[d])))
+                wd_list.append(_add(wd_p, _scale(_cross(w_p, a_w), qd[d])))
+            else:
+                w_list.append(w_p)
+                wd_list.append(wd_p)
+                ao_d = _add(ao_d, _scale(_cross(w_p, a_w), 2.0 * qd[d]))
             ao_list.append(ao_d)
         # base composite link rides the base directly
         w_list.append(w_base)
@@ -1993,7 +2058,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             if c < 6:
                 return (0.0, 0.0, 0.0)
             d = c - 6
-            if mask[l, d]:
+            if mask[l, d] and rev[d]:
                 return axes_w[d]
             return (0.0, 0.0, 0.0)
 
@@ -2004,7 +2069,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                 return E3[c - 3]
             d = c - 6
             if mask[l, d]:
-                return _cross(axes_w[d], _sub(com_w[l], fp[d]))
+                return (_cross(axes_w[d], _sub(com_w[l], fp[d]))
+                        if rev[d] else axes_w[d])
             return (0.0, 0.0, 0.0)
 
         def col_nonzero(l, c):
@@ -2164,7 +2230,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             cols[5] = (0.0, 0.0, 1.0)
             for i in range(nd):
                 if link >= 0 and mask[link, i]:
-                    cols[6 + i] = _cross(axes2[i], _sub(cp, fp2[i]))
+                    cols[6 + i] = (_cross(axes2[i], _sub(cp, fp2[i]))
+                                   if rev[i] else axes2[i])
                 else:
                     cols[6 + i] = (0.0, 0.0, 0.0)
             return cols

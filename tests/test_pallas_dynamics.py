@@ -601,3 +601,81 @@ def test_fused_substep_aero_parity():
                                np.asarray(sx.root[:, 2, 7:13]), atol=2e-2)
     # drag slowed the flight vs the aero-off expectation |vx| < 5.5
     assert abs(float(sf.root[0, 2, 7])) < 5.4
+
+
+PRISMATIC_ARM = """
+<robot name="parm">
+  <link name="base"><inertial><mass value="1"/><inertia ixx="0.1" iyy="0.1" izz="0.1" ixy="0" ixz="0" iyz="0"/></inertial></link>
+  <link name="slider">
+    <inertial><origin xyz="0 0 0"/><mass value="1.2"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <link name="swing">
+    <inertial><origin xyz="0.2 0 0"/><mass value="0.6"/>
+      <inertia ixx="0.004" iyy="0.004" izz="0.004" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><origin xyz="0.35 0 0"/><geometry><sphere radius="0.06"/></geometry></collision>
+  </link>
+  <joint name="slide" type="prismatic">
+    <origin xyz="0 0 0"/><parent link="base"/><child link="slider"/>
+    <axis xyz="1 0 0"/><limit lower="-0.5" upper="0.5" effort="80" velocity="10"/>
+  </joint>
+  <joint name="pivot" type="revolute">
+    <origin xyz="0 0 -0.1"/><parent link="slider"/><child link="swing"/>
+    <axis xyz="0 1 0"/><limit lower="-2.5" upper="2.5" effort="40" velocity="20"/>
+  </joint>
+</robot>
+"""
+
+
+def test_fused_substep_prismatic_parity():
+    """Mixed prismatic+revolute arm on the fused path: kernel == XLA over a
+    PD-driven trajectory with ball contact (the previously-uncovered joint
+    type, VERDICT r2 missing item 4)."""
+    from isaacgym_tpu.models import urdf as U2
+    from isaacgym_tpu.models import kinematics as K2
+    from isaacgym_tpu.models.assets import generate
+    from isaacgym_tpu.sim.scene import (ActorSpec, PlaneParams, SceneSpec,
+                                        compile_scene, DRIVE_POS)
+    from isaacgym_tpu.sim.simulator import Simulator
+
+    arm = K2.compile_tree(U2.parse_urdf(PRISMATIC_ARM, from_string=True))
+    ball = K2.load_asset(os.path.join(generate.ASSET_DIR, "small_ball.urdf"))
+    kp = np.asarray([120.0, 30.0], np.float32)
+    scene = compile_scene(SceneSpec(
+        actors=[
+            ActorSpec("parm", arm, pos=(0, 0, 0.8), fixed_base=True,
+                      restitution=0.6, friction=0.5, drive_mode=DRIVE_POS,
+                      stiffness=kp, damping=kp / 10),
+            ActorSpec("ball", ball, pos=(0.8, 0.0, 0.9), fixed_base=False,
+                      restitution=1.3, friction=0.2),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    ))
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused is not None  # prismatic now on the fast path
+
+    B = 128
+    state0 = sim.initial_state(B)
+    state0 = state0._replace(
+        root=state0.root.at[:, 1, 7:10].set(jnp.asarray([-2.5, 0.0, 0.5])))
+    rng = np.random.RandomState(3)
+    tgt = jnp.asarray(np.stack([rng.uniform(-0.4, 0.4, B),
+                                rng.uniform(-1.5, 1.5, B)], -1).astype(np.float32))
+    eff = jnp.zeros((B, 2))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    sf = sx = state0
+    for _ in range(30):
+        sf = fused(sf, tgt, eff)
+        sx = xla(sx, tgt, eff)
+
+    np.testing.assert_allclose(np.asarray(sf.dof_pos), np.asarray(sx.dof_pos),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sf.dof_vel), np.asarray(sx.dof_vel),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(sf.root[:, 1, 0:3]),
+                               np.asarray(sx.root[:, 1, 0:3]), atol=5e-2)
+    # the slider actually moved (prismatic dof exercised)
+    assert float(np.abs(np.asarray(sf.dof_pos[:, 0])).max()) > 0.05
