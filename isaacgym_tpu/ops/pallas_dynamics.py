@@ -167,6 +167,74 @@ def _sphere_cyl_generic(c_local, radius, half_len, rad):
 
 
 # ---------------------------------------------------------------------------
+# build-time broadphase: fixed-base reach pruning of art-vs-static pairs
+# ---------------------------------------------------------------------------
+
+def _np_qrot(q, v):
+    x, y, z, w = [float(c) for c in q]
+    u = np.asarray([x, y, z], np.float64)
+    v = np.asarray(v, np.float64)
+    return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def _point_geom_dist_np(p_world, sg) -> float:
+    """Exact distance from a world point to a static geom's surface (numpy,
+    build time). Negative when the point is inside. Unknown kinds -> -inf
+    (never prune)."""
+    sgq = np.asarray(sg["quat"], np.float64)
+    c = _np_qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                 np.asarray(p_world, np.float64) - np.asarray(sg["pos"], np.float64))
+    kind, size = int(sg["kind"]), np.asarray(sg["size"], np.float64)
+    if kind == U.GEOM_SPHERE:
+        return float(np.linalg.norm(c) - size[0])
+    if kind == U.GEOM_BOX:
+        q = np.abs(c) - size
+        return float(np.linalg.norm(np.maximum(q, 0.0)) + min(float(np.max(q)), 0.0))
+    if kind == U.GEOM_CYLINDER:
+        dr = float(np.hypot(c[0], c[1]) - size[0])
+        dz = float(abs(c[2]) - size[1])
+        if dr <= 0.0 and dz <= 0.0:
+            return max(dr, dz)
+        return float(np.hypot(max(dr, 0.0), max(dz, 0.0)))
+    return -np.inf
+
+
+def _art_geom_reach_np(model: ArticulationModel, g) -> float:
+    """Upper bound on |geom_center - base_origin| over ALL joint
+    configurations: rotations preserve norms, so the chain's pre_pos norms +
+    prismatic travel + geom offset + bounding radius bound the reach."""
+    tree = model.tree
+    reach = float(np.linalg.norm(np.asarray(g["off_pos"], np.float64)))
+    reach += float(g["radius_bound"])
+    d = int(g["link"])
+    while d >= 0:
+        reach += float(np.linalg.norm(tree.dof_pre_pos[d].astype(np.float64)))
+        if int(tree.dof_type[d]) == U.JOINT_PRISMATIC:
+            lo, hi = float(tree.lower[d]), float(tree.upper[d])
+            if not (np.isfinite(lo) and np.isfinite(hi)):
+                return float(np.inf)
+            reach += max(abs(lo), abs(hi))
+        d = int(tree.dof_parent[d])
+    return reach
+
+
+def _static_pair_unreachable(model: ArticulationModel, base_pos, g, sg,
+                             margin: float = 0.02) -> bool:
+    """Build-time broadphase for FIXED-base articulations: True when art
+    geom ``g`` can never touch static geom ``sg`` for any joint
+    configuration (narrowphase activates on dist < 0 only, so a geometric
+    bound plus the 5 mm contact offset + margin is sufficient). Static poses
+    are already compile-time constants on the fused path (teleported statics
+    reroute to XLA via simulator._baked_roots_moved). Diagnostic override:
+    ``ISAACGYM_TPU_REACH_PRUNE=0`` keeps every pair."""
+    import os
+    if os.environ.get("ISAACGYM_TPU_REACH_PRUNE", "1") == "0":
+        return False
+    return (_point_geom_dist_np(base_pos, sg)
+            > _art_geom_reach_np(model, g) + 0.005 + margin)
+
+
+# ---------------------------------------------------------------------------
 # scalar-form helpers over (sublane, lane) tiles
 # ---------------------------------------------------------------------------
 
@@ -1075,6 +1143,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 op = tuple(float(v) for v in g["off_pos"])
                 center = _add(fp2[link], _qrot(fq2[link], op))
                 for sg in static_geoms[:n_true_static]:
+                    if _static_pair_unreachable(model, base_pos, g, sg):
+                        continue
                     sgp = tuple(float(v) for v in sg["pos"])
                     sgq = tuple(float(v) for v in sg["quat"])
                     c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
@@ -1745,7 +1815,11 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 nd_a = rt["nd"]
                 center = _add(fp2[link], _qrot(fq2[link],
                                                tuple(float(v) for v in g["off_pos"])))
+                art_spec = arts[int(g["art"])]
                 for sg in static_geoms[:n_true_static]:
+                    if _static_pair_unreachable(art_spec["model"],
+                                                art_spec["base_pos"], g, sg):
+                        continue
                     sgp = tuple(float(v) for v in sg["pos"])
                     sgq = tuple(float(v) for v in sg["quat"])
                     c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),

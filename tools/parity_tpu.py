@@ -81,28 +81,40 @@ def main(argv=None):
     step_fused = jax.jit(env_fused.step_fn)
     step_xla = jax.jit(env_xla.step_fn)
 
-    def d(a, b):
-        return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+    def d(a, b, keep):
+        """Max abs diff over envs where BOTH paths agree on reset: a done
+        flag flipping at an f32-noise margin teleports that env in one path
+        only — an amplification of kernel noise through the reset
+        discontinuity, not kernel error. Flipped envs are counted
+        separately (reset_flips)."""
+        diff = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+        keep = keep.reshape(keep.shape + (1,) * (diff.ndim - 1))
+        return float(jnp.max(jnp.where(keep, diff, 0.0)))
 
     # plain loop over the S samples (each call is the full B-env batch);
     # vmap over the pallas_call grid is deliberately avoided
     diffs = {k: [] for k in ("dof_pos", "dof_vel", "root", "ncf", "obs", "reward")}
+    reset_flips = 0
     for i in range(n_samples):
         s = jax.tree.map(lambda x: x[i], saved)
         a = acts[i]
-        sf, of, rf, _df, _if = step_fused(s, a)
-        sx, ox, rx, _dx, _ix = step_xla(s, a)
-        diffs["dof_pos"].append(d(sf.sim.dof_pos, sx.sim.dof_pos))
-        diffs["dof_vel"].append(d(sf.sim.dof_vel, sx.sim.dof_vel))
-        diffs["root"].append(d(sf.sim.root, sx.sim.root))
-        diffs["ncf"].append(d(sf.sim.net_contact_force, sx.sim.net_contact_force))
-        diffs["obs"].append(d(of, ox))
-        diffs["reward"].append(d(rf, rx))
+        sf, of, rf, df_, _if = step_fused(s, a)
+        sx, ox, rx, dx_, _ix = step_xla(s, a)
+        keep = df_.astype(bool) == dx_.astype(bool)
+        reset_flips += int(jnp.sum(~keep))
+        diffs["dof_pos"].append(d(sf.sim.dof_pos, sx.sim.dof_pos, keep))
+        diffs["dof_vel"].append(d(sf.sim.dof_vel, sx.sim.dof_vel, keep))
+        diffs["root"].append(d(sf.sim.root, sx.sim.root, keep))
+        diffs["ncf"].append(d(sf.sim.net_contact_force, sx.sim.net_contact_force, keep))
+        diffs["obs"].append(d(of, ox, keep))
+        diffs["reward"].append(d(rf, rx, keep))
     diffs = {k: np.asarray(v) for k, v in diffs.items()}
     # velocity-scale context for judging dof_vel deviations
     vel_scale = float(np.max(np.abs(np.asarray(saved.sim.dof_vel))))
     out = {"task": task, "num_envs": num_envs, "samples": n_samples,
-           "dof_vel_scale": round(vel_scale, 3)}
+           "dof_vel_scale": round(vel_scale, 3),
+           "reset_flips": reset_flips,
+           "env_steps_compared": n_samples * num_envs}
     for k, v in diffs.items():
         out[f"max_{k}"] = float(np.max(v))
         out[f"mean_{k}"] = float(np.mean(v))
