@@ -91,17 +91,29 @@ def main(argv=None):
         keep = keep.reshape(keep.shape + (1,) * (diff.ndim - 1))
         return float(jnp.max(jnp.where(keep, diff, 0.0)))
 
+    def per_env_max(a, b, keep):
+        diff = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
+        diff = diff.reshape(diff.shape[0], -1).max(axis=1)
+        return jnp.where(keep, diff, 0.0)
+
     # plain loop over the S samples (each call is the full B-env batch);
     # vmap over the pallas_call grid is deliberately avoided
     diffs = {k: [] for k in ("dof_pos", "dof_vel", "root", "ncf", "obs", "reward")}
     reset_flips = 0
-    for i in range(n_samples):
+    contact_flips = 0       # envs where a contact/event branch flipped at an
+    clean_root_max = 0.0    # f32 margin (one-step root delta > 0.1): discrete
+    for i in range(n_samples):  # amplification, reported separately
         s = jax.tree.map(lambda x: x[i], saved)
         a = acts[i]
         sf, of, rf, df_, _if = step_fused(s, a)
         sx, ox, rx, dx_, _ix = step_xla(s, a)
         keep = df_.astype(bool) == dx_.astype(bool)
         reset_flips += int(jnp.sum(~keep))
+        env_root = per_env_max(sf.sim.root, sx.sim.root, keep)
+        flipped = env_root > 0.1
+        contact_flips += int(jnp.sum(flipped))
+        clean_root_max = max(clean_root_max,
+                             float(jnp.max(jnp.where(flipped, 0.0, env_root))))
         diffs["dof_pos"].append(d(sf.sim.dof_pos, sx.sim.dof_pos, keep))
         diffs["dof_vel"].append(d(sf.sim.dof_vel, sx.sim.dof_vel, keep))
         diffs["root"].append(d(sf.sim.root, sx.sim.root, keep))
@@ -114,6 +126,8 @@ def main(argv=None):
     out = {"task": task, "num_envs": num_envs, "samples": n_samples,
            "dof_vel_scale": round(vel_scale, 3),
            "reset_flips": reset_flips,
+           "contact_flips": contact_flips,
+           "max_root_no_flip": clean_root_max,
            "env_steps_compared": n_samples * num_envs}
     for k, v in diffs.items():
         out[f"max_{k}"] = float(np.max(v))
