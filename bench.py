@@ -25,7 +25,10 @@ import time
 NUM_ENVS = 4096
 TASK = "HumanoidPingpongTiltNoEarlyStopG1"
 CHUNK = 100          # env steps per timed device call (scan inside jit)
-REPEATS = 5
+# best-of-N filters tunnel/host interference bursts (the shared-chip
+# environment shows sustained multi-second slowdowns; 12 x ~40 ms windows
+# give several clean samples even under intermittent load)
+REPEATS = 12
 
 
 def main():

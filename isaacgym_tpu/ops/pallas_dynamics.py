@@ -119,6 +119,86 @@ def _svsub(a, b):
     return (_ssub(a[0], b[0]), _ssub(a[1], b[1]), _ssub(a[2], b[2]))
 
 
+def _isc(x):
+    return isinstance(x, (int, float))
+
+
+def _sml1(a, b):
+    """``_sml`` plus compile-time ±1 folding: kernels are op-count-bound on
+    the VPU and Mosaic cannot fold ``x * 0.0`` under IEEE semantics (0*inf),
+    so constant pruning must happen at build time."""
+    if _isz(a) or _isz(b):
+        return 0.0
+    if _isc(a):
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+    if _isc(b):
+        if b == 1.0:
+            return a
+        if b == -1.0:
+            return -a
+    return a * b
+
+
+def _qmul_s(a, b):
+    """Quaternion product with symbolic zero/±1 pruning — exact-math
+    identical to :func:`_qmul` (only x*0 / x*1 / x+0 identities are folded).
+    Either operand may carry compile-time float components; an identity
+    constant side folds to a passthrough of the other."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (
+        _sad2(_sad2(_sml1(aw, bx), _sml1(ax, bw)),
+              _ssub(_sml1(ay, bz), _sml1(az, by))),
+        _sad2(_sad2(_sml1(aw, by), _sml1(ay, bw)),
+              _ssub(_sml1(az, bx), _sml1(ax, bz))),
+        _sad2(_sad2(_sml1(aw, bz), _sml1(az, bw)),
+              _ssub(_sml1(ax, by), _sml1(ay, bx))),
+        _ssub(_sml1(aw, bw),
+              _sad2(_sad2(_sml1(ax, bx), _sml1(ay, by)), _sml1(az, bz))),
+    )
+
+
+def _scross1(a, b):
+    return (_ssub(_sml1(a[1], b[2]), _sml1(a[2], b[1])),
+            _ssub(_sml1(a[2], b[0]), _sml1(a[0], b[2])),
+            _ssub(_sml1(a[0], b[1]), _sml1(a[1], b[0])))
+
+
+def _qrot_s(q, v):
+    """``_qrot`` with build-time constant pruning. All-constant quaternions
+    lower to a rotation-matrix contraction computed in pure Python (zero
+    terms pruned, ±1 folded — identity/axis-aligned rotations cost 0–4 ops);
+    otherwise the quaternion formula with zero/±1 pruning of constant
+    components (same term association as :func:`_qrot`)."""
+    if all(_isc(c) for c in q):
+        R = _rotmat_from_quat(q)
+        return tuple(
+            _sad2(_sad2(_sml1(_round_unit(R[i][0]), v[0]),
+                        _sml1(_round_unit(R[i][1]), v[1])),
+                  _sml1(_round_unit(R[i][2]), v[2]))
+            for i in range(3))
+    qx, qy, qz, qw = q
+    u = (qx, qy, qz)
+    t = tuple(_sml1(2.0, c) for c in _scross1(u, v))
+    return _svadd(_svadd(v, (_sml1(qw, t[0]), _sml1(qw, t[1]), _sml1(qw, t[2]))),
+                  _scross1(u, t))
+
+
+def _round_unit(c, tol=1e-7):
+    """Snap build-time rotation coefficients to exact 0/±1 so axis-aligned
+    constant rotations prune completely (float32 quats give 1-ulp dirt)."""
+    if abs(c) < tol:
+        return 0.0
+    if abs(c - 1.0) < tol:
+        return 1.0
+    if abs(c + 1.0) < tol:
+        return -1.0
+    return c
+
+
 def _sphere_box_generic(c_local, half, rad):
     """Closest-point sphere-vs-box in the box frame -> (dist, n_local)."""
     cl = [jnp.clip(c_local[i], -float(half[i]), float(half[i])) for i in range(3)]
@@ -392,21 +472,22 @@ def build_arm_step(model: ArticulationModel, base_pos: np.ndarray,
                 pq = tuple(jnp.full_like(q_rows[0], c) for c in bq)
             else:
                 pp, pq = fp[parent[d]], fq[parent[d]]
-            jp = _add(pp, _qrot(pq, tuple(float(c) for c in pre_pos[d])))
-            # constant-quat multiply folded scalar-wise
+            jp = _svadd(pp, _qrot_s(pq, tuple(float(c) for c in pre_pos[d])))
+            # constant-quat multiply folded scalar-wise (identity pre_quat,
+            # zero offsets, sparse axes prune at build time — _qmul_s/_qrot_s)
             cq = tuple(float(c) for c in pre_quat[d])
-            jq = _qmul(pq, cq)
+            jq = _qmul_s(pq, cq)
             ax, ay, az = [float(v) for v in axis[d]]
             if rev[d]:
                 half = 0.5 * q_rows[d]
                 s, c = jnp.sin(half), jnp.cos(half)
-                bq_d = _qmul(jq, (ax * s, ay * s, az * s, c))
+                bq_d = _qmul_s(jq, (_sml1(ax, s), _sml1(ay, s), _sml1(az, s), c))
             else:
                 bq_d = jq
-                jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
+                jp = _svadd(jp, _sscale(_qrot_s(jq, (ax, ay, az)), q_rows[d]))
             fp.append(jp)
             fq.append(bq_d)
-            axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
+            axes_w.append(_qrot_s(bq_d, tuple(float(v) for v in axis[d])))
         return fp, fq, axes_w
 
     def kernel(q_ref, qd_ref, tgt_ref, eff_ref,
@@ -630,9 +711,15 @@ class FusedStepOutputs(NamedTuple):
     ball_pos: jnp.ndarray    # (B, 3)
     ball_vel: jnp.ndarray    # (B, 3)
     ball_omega: jnp.ndarray  # (B, 3) spin after friction coupling
-    impulses: jnp.ndarray    # (B, ng+1, 3): per-art-geom impulse on the geom
-                             # body (rows 0..ng-1) + total impulse on the ball
-                             # from plane/static contacts (row ng)
+    impulses: jnp.ndarray    # (B, ng+1, 3) — or (B, 2*ng+2, 3) when built
+                             # with_torque: per-art-geom impulse on the geom
+                             # body (rows 0..ng-1), total ball impulse from
+                             # plane/static contacts (row ng), then per-art-
+                             # geom contact MOMENT about the geom body's
+                             # frame origin (rows ng+1..2ng) and the ball's
+                             # contact-moment sum about its center from ALL
+                             # contacts (row 2ng+1) — force-sensor wrench
+                             # lanes (impulse units; divide by dt)
 
 
 def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
@@ -643,7 +730,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                         with_dr: bool = False,
                         n_true_static: int = None,
                         max_depenetration: float = 10.0,
-                        art_static: bool = True):
+                        art_static: bool = True,
+                        with_torque: bool = False):
     """One Pallas kernel for the ENTIRE substep of a single-humanoid pingpong
     scene: PD -> dynamics -> integrate -> post FK -> ball gravity -> plane /
     static-box / articulated-geom impulse contacts (with joint-space
@@ -718,19 +806,21 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 pq = tuple(jnp.full_like(q_rows[0], c) for c in bq0)
             else:
                 pp, pq = fp[parent[d]], fq[parent[d]]
-            jp = _add(pp, _qrot(pq, tuple(float(c) for c in pre_pos[d])))
-            jq = _qmul(pq, tuple(float(c) for c in pre_quat[d]))
+            # constant pruning: identity pre_quat, zero offsets, and sparse
+            # joint axes fold at build time (_qmul_s/_qrot_s/_sml1)
+            jp = _svadd(pp, _qrot_s(pq, tuple(float(c) for c in pre_pos[d])))
+            jq = _qmul_s(pq, tuple(float(c) for c in pre_quat[d]))
             ax, ay, az = [float(v) for v in axis[d]]
             if rev[d]:
                 half = 0.5 * q_rows[d]
                 s, c = jnp.sin(half), jnp.cos(half)
-                bq_d = _qmul(jq, (ax * s, ay * s, az * s, c))
+                bq_d = _qmul_s(jq, (_sml1(ax, s), _sml1(ay, s), _sml1(az, s), c))
             else:
                 bq_d = jq
-                jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
+                jp = _svadd(jp, _sscale(_qrot_s(jq, (ax, ay, az)), q_rows[d]))
             fp.append(jp)
             fq.append(bq_d)
-            axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
+            axes_w.append(_qrot_s(bq_d, tuple(float(v) for v in axis[d])))
         return fp, fq, axes_w
 
     def _sphere_box_local(c_local, half):
@@ -781,15 +871,20 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         dist = jnp.where(outside, out_dist, d_in) - rb_
         return dist, n
 
-    def _swept_eval(eval_fn, pos, v_rel, samples: int = 4):
-        """Swept-sample CCD (ops.contacts.swept_frame, kernel form): evaluate
-        ``eval_fn(p) -> (dist, n)`` along the relative motion over one
-        substep; activation frame = FIRST penetrating sample (entry-side
-        normal); depenetration depth = current sample."""
-        d0, n0 = eval_fn(pos)
+    def _swept_eval_local(eval_l, c0, dv_l, samples: int = 4):
+        """Swept-sample CCD (ops.contacts.swept_frame, kernel form) evaluated
+        in the geom's LOCAL frame: rotation into the frame is linear, so each
+        sweep sample is one vector add on the local sphere center (``dv_l`` is
+        the pre-scaled per-sample local delta) instead of a full quaternion
+        rotate of the world position — the caller rotates only the SELECTED
+        entry normal back to world. Activation frame = FIRST penetrating
+        sample (entry-side normal); depenetration depth = current sample."""
+        d0, n0 = eval_l(c0)
         best_d, best_n, found = d0, n0, d0 < 0.0
+        ck = c0
         for k in range(1, samples + 1):
-            dk, nk = eval_fn(_add(pos, _scale(v_rel, dt_s * k / samples)))
+            ck = _add(ck, dv_l)
+            dk, nk = eval_l(ck)
             take = (~found) & (dk < 0.0)
             best_d = jnp.where(take, dk, best_d)
             best_n = tuple(jnp.where(take, nk[i], best_n[i]) for i in range(3))
@@ -1007,35 +1102,50 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                                              dist_now=dist0)
         pos = _add(pos, push)
         imp_x, imp_y, imp_z = [_scale(dv, 1.0 / inv_mb)[i] for i in range(3)]
+        # ball contact-moment accumulator (about the ball center; lever of a
+        # sphere contact = -r n, so tau += -r/inv_m * n x dv per contact).
+        # Channels exist only when the scene registers force sensors
+        # (with_torque) — sensor-less scenes pay zero ops for the lanes.
+        tqb = (_sscale(_scross1((0.0, 0.0, 1.0), dv), -rb_ / inv_mb)
+               if with_torque else None)
 
         # static world geoms (table top, net, base-welded humanoid bodies)
-        for g in static_geoms:
+        for si, g in enumerate(static_geoms):
             gp = tuple(float(v) for v in g["pos"])
             gq = tuple(float(v) for v in g["quat"])
+            gqi = (-gq[0], -gq[1], -gq[2], gq[3])
             kind_s = int(g["kind"])
 
-            def eval_g(p, gp=gp, gq=gq, g=g, kind_s=kind_s):
-                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+            def eval_l(c_local, g=g, kind_s=kind_s):
                 if kind_s == U.GEOM_SPHERE:
                     d2 = _dot(c_local, c_local)
                     dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    n_local = _scale(c_local, 1.0 / dn)
-                    d = dn - float(g["size"][0]) - rb_
+                    return dn - float(g["size"][0]) - rb_, _scale(c_local, 1.0 / dn)
                 elif kind_s == U.GEOM_BOX:
-                    d, n_local = _sphere_box_local(c_local, g["size"])
-                else:
-                    d, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
-                return d, _qrot(gq, n_local)
+                    return _sphere_box_local(c_local, g["size"])
+                return _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
 
-            dist, n, dist0 = _swept_eval(eval_g, pos, vel, samples=2)
-            e = 0.5 * (e_ball + float(g["e"]))
-            mu = 0.5 * (mu_ball + float(g["mu"]))
+            c0 = _qrot_s(gqi, _sub(pos, gp))
+            dv_l = _qrot_s(gqi, _scale(vel, dt_s / 2))
+            dist, n_l, dist0 = _swept_eval_local(eval_l, c0, dv_l, samples=2)
+            n = _qrot_s(gq, n_l)
+            if with_dr and si >= n_true_static:
+                # BASE-WELDED humanoid geoms (rows past the true statics):
+                # shape-property DR scales apply to them like the moving art
+                # geoms — the XLA path gets this via _ball_vs_art_group(dr)
+                e = 0.5 * (e_ball + float(g["e"]) * rest_s)
+                mu = 0.5 * (mu_ball + float(g["mu"]) * fric_s)
+            else:
+                e = 0.5 * (e_ball + float(g["e"]))
+                mu = 0.5 * (mu_ball + float(g["mu"]))
             vel, omg, push, dv = _resolve_static(vel, omg, dist, n, e, mu,
                                                  dist_now=dist0)
             pos = _add(pos, push)
             imp_x = imp_x + dv[0] / inv_mb
             imp_y = imp_y + dv[1] / inv_mb
             imp_z = imp_z + dv[2] / inv_mb
+            if with_torque:
+                tqb = _svadd(tqb, _sscale(_scross1(n, dv), -rb_ / inv_mb))
         imp_ref[ng * 3 + 0] = imp_x
         imp_ref[ng * 3 + 1] = imp_y
         imp_ref[ng * 3 + 2] = imp_z
@@ -1045,24 +1155,23 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             link = int(g["link"])
             op = tuple(float(v) for v in g["off_pos"])
             oq = tuple(float(v) for v in g["off_quat"])
-            gp = _add(fp2[link], _qrot(fq2[link], op))
-            gq = _qmul(fq2[link], oq)
+            gp = _svadd(fp2[link], _qrot_s(fq2[link], op))
+            gq = _qmul_s(fq2[link], oq)
+            gqi = (-gq[0], -gq[1], -gq[2], gq[3])
             kind = int(g["kind"])
 
-            def eval_g(p, gp=gp, gq=gq, g=g, kind=kind):
-                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+            def eval_l(c_local, g=g, kind=kind):
                 if kind == U.GEOM_SPHERE:
                     d2 = _dot(c_local, c_local)
                     dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    n_local = _scale(c_local, 1.0 / dn)
-                    d = dn - float(g["size"][0]) - rb_
+                    return dn - float(g["size"][0]) - rb_, _scale(c_local, 1.0 / dn)
                 elif kind == U.GEOM_BOX:
-                    d, n_local = _sphere_box_local(c_local, g["size"])
-                else:
-                    d, n_local = _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
-                return d, _qrot(gq, n_local)
+                    return _sphere_box_local(c_local, g["size"])
+                return _sphere_cyl_local(c_local, g["size"][0], g["size"][1])
 
-            d_now, n_now = eval_g(pos)
+            c0 = _qrot_s(gqi, _sub(pos, gp))
+            d_now, n_now_l = eval_l(c0)
+            n_now = _qrot_s(gq, n_now_l)
 
             # contact point + its Jacobian columns (linear part only);
             # the Jacobian/velocity use the CURRENT closest point (the swept
@@ -1091,14 +1200,20 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             v_rel0 = _sub(vel, v_point)
 
             # swept-sample CCD along the relative motion (geom frozen over
-            # the substep); entry-side normal, current-depth depenetration
-            dist, n, found = d_now, n_now, d_now < 0.0
+            # the substep); entry-side normal, current-depth depenetration.
+            # Samples step in the geom's LOCAL frame (one add each); only the
+            # selected entry normal is rotated back to world.
+            dv_l = _qrot_s(gqi, _scale(v_rel0, dt_s / 4))
+            dist, n_l, found = d_now, n_now_l, d_now < 0.0
+            ck = c0
             for kk in range(1, 5):
-                dk, nk = eval_g(_add(pos, _scale(v_rel0, dt_s * kk / 4)))
+                ck = _add(ck, dv_l)
+                dk, nk = eval_l(ck)
                 take = (~found) & (dk < 0.0)
                 dist = jnp.where(take, dk, dist)
-                n = tuple(jnp.where(take, nk[i], n[i]) for i in range(3))
+                n_l = tuple(jnp.where(take, nk[i], n_l[i]) for i in range(3))
                 found = found | (dk < 0.0)
+            n = _qrot_s(gq, n_l)
 
             v_rel = v_rel0
             vn = _dot(v_rel, n)
@@ -1131,6 +1246,16 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             imp_ref[gi * 3 + 0] = -P[0]
             imp_ref[gi * 3 + 1] = -P[1]
             imp_ref[gi * 3 + 2] = -P[2]
+            if with_torque:
+                # contact moments: ball about its center (lever -r n_now),
+                # geom body about its frame origin (lever cp - body origin)
+                tqb = _svadd(tqb, _sscale(_scross1(n_now, P), -rb_))
+                borg = _svadd(fp2[link], _qrot_s(
+                    fq2[link], tuple(float(v) for v in g["body_off"])))
+                tq_g = _scross1(_svsub(cp, borg), _sscale(P, -1.0))
+                imp_ref[(ng + 1 + gi) * 3 + 0] = tq_g[0]
+                imp_ref[(ng + 1 + gi) * 3 + 1] = tq_g[1]
+                imp_ref[(ng + 1 + gi) * 3 + 2] = tq_g[2]
 
         # articulation links vs TRUE static geoms (table slab, net) —
         # Baumgarte-stabilized impulses on the generalized velocity, the
@@ -1141,13 +1266,13 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                 link = int(g["link"])
                 rbound = float(g["radius_bound"])
                 op = tuple(float(v) for v in g["off_pos"])
-                center = _add(fp2[link], _qrot(fq2[link], op))
+                center = _svadd(fp2[link], _qrot_s(fq2[link], op))
                 for sg in static_geoms[:n_true_static]:
                     if _static_pair_unreachable(model, base_pos, g, sg):
                         continue
                     sgp = tuple(float(v) for v in sg["pos"])
                     sgq = tuple(float(v) for v in sg["quat"])
-                    c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                    c_local = _qrot_s((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
                                     _sub(center, sgp))
                     kind_s = int(sg["kind"])
                     if kind_s == U.GEOM_SPHERE:
@@ -1160,7 +1285,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                     else:
                         dist, n_local = _sphere_cyl_generic(
                             c_local, sg["size"][0], sg["size"][1], rbound)
-                    n = _qrot(sgq, n_local)
+                    n = _qrot_s(sgq, n_local)
                     point = _sub(center, _scale(n, rbound))
                     Jcols = []
                     for i in range(nd):
@@ -1204,6 +1329,10 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
 
         for d in range(nd):
             qdn_ref[d] = u[d]
+        if with_torque:
+            imp_ref[(2 * ng + 1) * 3 + 0] = tqb[0]
+            imp_ref[(2 * ng + 1) * 3 + 1] = tqb[1]
+            imp_ref[(2 * ng + 1) * 3 + 2] = tqb[2]
         # ball AssetOptions.max_linear_velocity — PhysX caps the MAGNITUDE
         vel = _scale(vel, jnp.minimum(
             1.0, max_lin_ball / jnp.sqrt(jnp.maximum(_dot(vel, vel), 1e-18))))
@@ -1236,7 +1365,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
         grid = (R // rb,)
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
-        nimp = ng * 3 + 3
+        nimp = (2 * ng + 2) * 3 if with_torque else ng * 3 + 3
         in_specs = [chan(nd)] * 4 + [chan(3), chan(3), chan(3)]
         inputs = [to_chan(q, nd), to_chan(qd, nd), to_chan(targets, nd),
                   to_chan(efforts, nd), to_chan(ball_pos, 3),
@@ -1272,7 +1401,7 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             ball_pos=from_chan(outs[3], 3),
             ball_vel=from_chan(outs[4], 3),
             ball_omega=from_chan(outs[5], 3),
-            impulses=from_chan(outs[6], ng * 3 + 3).reshape(B, ng + 1, 3),
+            impulses=from_chan(outs[6], nimp).reshape(B, nimp // 3, 3),
         )
 
     return jax.jit(run)
@@ -1378,19 +1507,20 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                         pq = tuple(jnp.full_like(q_rows[0], v) for v in c["bq"])
                     else:
                         pp, pq = fp[c["parent"][d]], fq[c["parent"][d]]
-                    jp = _add(pp, _qrot(pq, tuple(float(v) for v in c["pre_pos"][d])))
-                    jq = _qmul(pq, tuple(float(v) for v in c["pre_quat"][d]))
+                    jp = _svadd(pp, _qrot_s(pq, tuple(float(v) for v in c["pre_pos"][d])))
+                    jq = _qmul_s(pq, tuple(float(v) for v in c["pre_quat"][d]))
                     ax, ay, az = [float(v) for v in c["axis"][d]]
                     if c["rev"][d]:
                         half = 0.5 * q_rows[d]
                         s_, co = jnp.sin(half), jnp.cos(half)
-                        bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, co))
+                        bq_d = _qmul_s(jq, (_sml1(ax, s_), _sml1(ay, s_),
+                                            _sml1(az, s_), co))
                     else:
                         bq_d = jq
-                        jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
+                        jp = _svadd(jp, _sscale(_qrot_s(jq, (ax, ay, az)), q_rows[d]))
                     fp.append(jp)
                     fq.append(bq_d)
-                    axes_w.append(_qrot(bq_d, tuple(float(v) for v in c["axis"][d])))
+                    axes_w.append(_qrot_s(bq_d, tuple(float(v) for v in c["axis"][d])))
                 return fp, fq, axes_w
 
             fp, fq, axes_w = fk_a(q)
@@ -1607,12 +1737,16 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 push = _scale(n, jnp.where(active, jnp.maximum(-dist_now, 0.0), 0.0))
                 return _add(vel, dv), omg2, push, dv
 
-            def swept(eval_fn, pos, v_rel, samples=4):
-                # first-penetrating sample (ops.contacts.swept_frame)
-                d0, n0 = eval_fn(pos)
+            def swept_local(eval_l, c0, dv_l, samples=4):
+                # first-penetrating sample (ops.contacts.swept_frame), stepped
+                # in the geom's LOCAL frame (one add per sample; the caller
+                # rotates only the selected entry normal back to world)
+                d0, n0 = eval_l(c0)
                 bd, bn, found = d0, n0, d0 < 0.0
+                ck = c0
                 for kk in range(1, samples + 1):
-                    dk, nk = eval_fn(_add(pos, _scale(v_rel, dt_s * kk / samples)))
+                    ck = _add(ck, dv_l)
+                    dk, nk = eval_l(ck)
                     take = (~found) & (dk < 0.0)
                     bd = jnp.where(take, dk, bd)
                     bn = tuple(jnp.where(take, nk[i], bn[i]) for i in range(3))
@@ -1631,22 +1765,23 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             for g in static_geoms:
                 gp = tuple(float(v) for v in g["pos"])
                 gq = tuple(float(v) for v in g["quat"])
+                gqi = (-gq[0], -gq[1], -gq[2], gq[3])
                 kind_s = int(g["kind"])
 
-                def eval_g(p, gp=gp, gq=gq, g=g, kind_s=kind_s, rb_=rb_):
-                    c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                def eval_l(c_local, g=g, kind_s=kind_s, rb_=rb_):
                     if kind_s == U.GEOM_SPHERE:
                         d2 = _dot(c_local, c_local)
                         dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                        n_local = _scale(c_local, 1.0 / dn)
-                        d = dn - float(g["size"][0]) - rb_
+                        return (dn - float(g["size"][0]) - rb_,
+                                _scale(c_local, 1.0 / dn))
                     elif kind_s == U.GEOM_BOX:
-                        d, n_local = sphere_box_local(c_local, g["size"], rb_)
-                    else:
-                        d, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
-                    return d, _qrot(gq, n_local)
+                        return sphere_box_local(c_local, g["size"], rb_)
+                    return sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
 
-                dist, n, d0 = swept(eval_g, pos, vel, samples=2)
+                c0 = _qrot_s(gqi, _sub(pos, gp))
+                dv_l = _qrot_s(gqi, _scale(vel, dt_s / 2))
+                dist, n_l, d0 = swept_local(eval_l, c0, dv_l, samples=2)
+                n = _qrot_s(gq, n_l)
                 e = 0.5 * (e_ball + float(g["e"]))
                 mu = 0.5 * (mu_ball + float(g["mu"]))
                 vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu,
@@ -1660,24 +1795,24 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 rt = art_rt[int(g["art"])]
                 link = int(g["link"])
                 fp2, fq2, axes2 = rt["fp2"], rt["fq2"], rt["axes2"]
-                gp = _add(fp2[link], _qrot(fq2[link], tuple(float(v) for v in g["off_pos"])))
-                gq = _qmul(fq2[link], tuple(float(v) for v in g["off_quat"]))
+                gp = _svadd(fp2[link], _qrot_s(fq2[link], tuple(float(v) for v in g["off_pos"])))
+                gq = _qmul_s(fq2[link], tuple(float(v) for v in g["off_quat"]))
+                gqi = (-gq[0], -gq[1], -gq[2], gq[3])
                 kind = int(g["kind"])
 
-                def eval_g(p, gp=gp, gq=gq, g=g, kind=kind, rb_=rb_):
-                    c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+                def eval_l(c_local, g=g, kind=kind, rb_=rb_):
                     if kind == U.GEOM_SPHERE:
                         d2 = _dot(c_local, c_local)
                         dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                        n_local = _scale(c_local, 1.0 / dn)
-                        d = dn - float(g["size"][0]) - rb_
+                        return (dn - float(g["size"][0]) - rb_,
+                                _scale(c_local, 1.0 / dn))
                     elif kind == U.GEOM_BOX:
-                        d, n_local = sphere_box_local(c_local, g["size"], rb_)
-                    else:
-                        d, n_local = sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
-                    return d, _qrot(gq, n_local)
+                        return sphere_box_local(c_local, g["size"], rb_)
+                    return sphere_cyl_local(c_local, g["size"][0], g["size"][1], rb_)
 
-                d_now, n_now = eval_g(pos)
+                c0 = _qrot_s(gqi, _sub(pos, gp))
+                d_now, n_now_l = eval_l(c0)
+                n_now = _qrot_s(gq, n_now_l)
                 cp = _sub(pos, _scale(n_now, rb_))
                 nd_a = rt["nd"]
                 Jcols = []
@@ -1692,14 +1827,19 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     if Jcols[i] is not None:
                         v_point = _add(v_point, _scale(Jcols[i], rt["u"][i]))
                 v_rel = _sub(vel, v_point)
-                # swept-sample CCD along the relative motion
-                dist, n, found = d_now, n_now, d_now < 0.0
+                # swept-sample CCD along the relative motion, stepped in the
+                # geom's local frame (entry normal rotated back once)
+                dv_l = _qrot_s(gqi, _scale(v_rel, dt_s / 4))
+                dist, n_l, found = d_now, n_now_l, d_now < 0.0
+                ck = c0
                 for kk in range(1, 5):
-                    dk, nk = eval_g(_add(pos, _scale(v_rel, dt_s * kk / 4)))
+                    ck = _add(ck, dv_l)
+                    dk, nk = eval_l(ck)
                     take = (~found) & (dk < 0.0)
                     dist = jnp.where(take, dk, dist)
-                    n = tuple(jnp.where(take, nk[i], n[i]) for i in range(3))
+                    n_l = tuple(jnp.where(take, nk[i], n_l[i]) for i in range(3))
                     found = found | (dk < 0.0)
+                n = _qrot_s(gq, n_l)
                 vn = _dot(v_rel, n)
                 active = (dist < 0.0) & (vn < 0.0)
                 e = 0.5 * (e_ball + float(g["e"]))
@@ -1813,7 +1953,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 rbound = float(g["radius_bound"])
                 fp2, fq2, axes2 = rt["fp2"], rt["fq2"], rt["axes2"]
                 nd_a = rt["nd"]
-                center = _add(fp2[link], _qrot(fq2[link],
+                center = _svadd(fp2[link], _qrot_s(fq2[link],
                                                tuple(float(v) for v in g["off_pos"])))
                 art_spec = arts[int(g["art"])]
                 for sg in static_geoms[:n_true_static]:
@@ -1822,7 +1962,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                         continue
                     sgp = tuple(float(v) for v in sg["pos"])
                     sgq = tuple(float(v) for v in sg["quat"])
-                    c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                    c_local = _qrot_s((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
                                     _sub(center, sgp))
                     kind_s = int(sg["kind"])
                     if kind_s == U.GEOM_SPHERE:
@@ -1835,7 +1975,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     else:
                         dist, n_local = _sphere_cyl_generic(
                             c_local, sg["size"][0], sg["size"][1], rbound)
-                    n = _qrot(sgq, n_local)
+                    n = _qrot_s(sgq, n_local)
                     point = _sub(center, _scale(n, rbound))
                     Jcols = []
                     for i in range(nd_a):
@@ -2061,19 +2201,20 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                     pp, pq = bp_t, bq_t
                 else:
                     pp, pq = fp[parent[d]], fq[parent[d]]
-                jp = _add(pp, _qrot(pq, tuple(float(v) for v in pre_pos[d])))
-                jq = _qmul(pq, tuple(float(v) for v in pre_quat[d]))
+                jp = _svadd(pp, _qrot_s(pq, tuple(float(v) for v in pre_pos[d])))
+                jq = _qmul_s(pq, tuple(float(v) for v in pre_quat[d]))
                 ax, ay, az = [float(v) for v in axis[d]]
                 if rev[d]:
                     half = 0.5 * q_rows[d]
                     s_, c_ = jnp.sin(half), jnp.cos(half)
-                    bq_d = _qmul(jq, (ax * s_, ay * s_, az * s_, c_))
+                    bq_d = _qmul_s(jq, (_sml1(ax, s_), _sml1(ay, s_),
+                                        _sml1(az, s_), c_))
                 else:
                     bq_d = jq
-                    jp = _add(jp, _scale(_qrot(jq, (ax, ay, az)), q_rows[d]))
+                    jp = _svadd(jp, _sscale(_qrot_s(jq, (ax, ay, az)), q_rows[d]))
                 fp.append(jp)
                 fq.append(bq_d)
-                axes_w.append(_qrot(bq_d, tuple(float(v) for v in axis[d])))
+                axes_w.append(_qrot_s(bq_d, tuple(float(v) for v in axis[d])))
             return fp, fq, axes_w
 
         fp, fq, axes_w = fk(q, bp, bq)
@@ -2287,8 +2428,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         for g in art_geoms:
             link = int(g["link"])
             li = nd if link < 0 else link
-            gp = _add(org2[li], _qrot(orient2[li], tuple(float(v) for v in g["off_pos"])))
-            gq = _qmul(orient2[li], tuple(float(v) for v in g["off_quat"]))
+            gp = _svadd(org2[li], _qrot_s(orient2[li], tuple(float(v) for v in g["off_pos"])))
+            gq = _qmul_s(orient2[li], tuple(float(v) for v in g["off_quat"]))
             geom_pos.append(gp)
             geom_quat.append(gq)
 
@@ -2351,12 +2492,16 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             push = _scale(n, jnp.where(active, jnp.maximum(-dist_now, 0.0), 0.0))
             return _add(vel, dv), omg2, push, dv
 
-        def swept(eval_fn, pos, v_rel, samples=4):
-            # first-penetrating sample (ops.contacts.swept_frame)
-            d0, n0 = eval_fn(pos)
+        def swept_local(eval_l, c0, dv_l, samples=4):
+            # first-penetrating sample (ops.contacts.swept_frame), stepped in
+            # the geom's LOCAL frame (one add per sample; the caller rotates
+            # only the selected entry normal back to world)
+            d0, n0 = eval_l(c0)
             bd, bn, found = d0, n0, d0 < 0.0
+            ck = c0
             for kk in range(1, samples + 1):
-                dk, nk = eval_fn(_add(pos, _scale(v_rel, dt_s * kk / samples)))
+                ck = _add(ck, dv_l)
+                dk, nk = eval_l(ck)
                 take = (~found) & (dk < 0.0)
                 bd = jnp.where(take, dk, bd)
                 bn = tuple(jnp.where(take, nk[i], bn[i]) for i in range(3))
@@ -2375,22 +2520,23 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         for g in static_geoms:
             gp = tuple(float(v) for v in g["pos"])
             gq = tuple(float(v) for v in g["quat"])
+            gqi = (-gq[0], -gq[1], -gq[2], gq[3])
             kind_s = int(g["kind"])
 
-            def eval_g(p, gp=gp, gq=gq, g=g, kind_s=kind_s):
-                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+            def eval_l(c_local, g=g, kind_s=kind_s):
                 if kind_s == U.GEOM_SPHERE:
                     d2 = _dot(c_local, c_local)
                     dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    n_local = _scale(c_local, 1.0 / dn)
-                    d = dn - float(g["size"][0]) - rb_
+                    return (dn - float(g["size"][0]) - rb_,
+                            _scale(c_local, 1.0 / dn))
                 elif kind_s == U.GEOM_BOX:
-                    d, n_local = _sphere_box_generic(c_local, g["size"], rb_)
-                else:
-                    d, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
-                return d, _qrot(gq, n_local)
+                    return _sphere_box_generic(c_local, g["size"], rb_)
+                return _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
 
-            dist, n, d0 = swept(eval_g, pos, vel, samples=2)
+            c0 = _qrot_s(gqi, _sub(pos, gp))
+            dv_l = _qrot_s(gqi, _scale(vel, dt_s / 2))
+            dist, n_l, d0 = swept_local(eval_l, c0, dv_l, samples=2)
+            n = _qrot_s(gq, n_l)
             e = 0.5 * (e_ball + float(g["e"]))
             mu = 0.5 * (mu_ball + float(g["mu"]))
             vel, omg, push, dv = resolve_static(vel, omg, dist, n, e, mu,
@@ -2404,34 +2550,39 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         # articulated geoms with FULL-BODY joint-space reactions
         for gi, g in enumerate(art_geoms):
             gp, gq = geom_pos[gi], geom_quat[gi]
+            gqi = (-gq[0], -gq[1], -gq[2], gq[3])
             kind = int(g["kind"])
 
-            def eval_g(p, gp=gp, gq=gq, g=g, kind=kind):
-                c_local = _qrot((-gq[0], -gq[1], -gq[2], gq[3]), _sub(p, gp))
+            def eval_l(c_local, g=g, kind=kind):
                 if kind == U.GEOM_SPHERE:
                     d2 = _dot(c_local, c_local)
                     dn = jnp.sqrt(jnp.maximum(d2, 1e-18))
-                    n_local = _scale(c_local, 1.0 / dn)
-                    d = dn - float(g["size"][0]) - rb_
+                    return (dn - float(g["size"][0]) - rb_,
+                            _scale(c_local, 1.0 / dn))
                 elif kind == U.GEOM_BOX:
-                    d, n_local = _sphere_box_generic(c_local, g["size"], rb_)
-                else:
-                    d, n_local = _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
-                return d, _qrot(gq, n_local)
+                    return _sphere_box_generic(c_local, g["size"], rb_)
+                return _sphere_cyl_generic(c_local, g["size"][0], g["size"][1], rb_)
 
-            d_now, n_now = eval_g(pos)
+            c0 = _qrot_s(gqi, _sub(pos, gp))
+            d_now, n_now_l = eval_l(c0)
+            n_now = _qrot_s(gq, n_now_l)
             cp = _sub(pos, _scale(n_now, rb_))
             cols = point_cols(int(g["link"]), cp)
             v_point = j_u(cols)
             v_rel = _sub(vel, v_point)
-            # swept-sample CCD along the relative motion
-            dist, n, found = d_now, n_now, d_now < 0.0
+            # swept-sample CCD along the relative motion, stepped in the
+            # geom's local frame (entry normal rotated back once)
+            dv_l = _qrot_s(gqi, _scale(v_rel, dt_s / 4))
+            dist, n_l, found = d_now, n_now_l, d_now < 0.0
+            ck = c0
             for kk in range(1, 5):
-                dk, nk = eval_g(_add(pos, _scale(v_rel, dt_s * kk / 4)))
+                ck = _add(ck, dv_l)
+                dk, nk = eval_l(ck)
                 take = (~found) & (dk < 0.0)
                 dist = jnp.where(take, dk, dist)
-                n = tuple(jnp.where(take, nk[i], n[i]) for i in range(3))
+                n_l = tuple(jnp.where(take, nk[i], n_l[i]) for i in range(3))
                 found = found | (dk < 0.0)
+            n = _qrot_s(gq, n_l)
             vn = _dot(v_rel, n)
             active = (dist < 0.0) & (vn < 0.0)
             e = 0.5 * (e_ball + float(g["e"]))
@@ -2470,7 +2621,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                 for sg in static_geoms:
                     sgp = tuple(float(v) for v in sg["pos"])
                     sgq = tuple(float(v) for v in sg["quat"])
-                    c_local = _qrot((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
+                    c_local = _qrot_s((-sgq[0], -sgq[1], -sgq[2], sgq[3]),
                                     _sub(center, sgp))
                     kind_s = int(sg["kind"])
                     if kind_s == U.GEOM_SPHERE:
@@ -2483,7 +2634,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                     else:
                         dist, n_local = _sphere_cyl_generic(
                             c_local, sg["size"][0], sg["size"][1], rbound)
-                    n = _qrot(sgq, n_local)
+                    n = _qrot_s(sgq, n_local)
                     point = _sub(center, _scale(n, rbound))
                     cols = point_cols(int(g["link"]), point)
                     v_point = j_u(cols)

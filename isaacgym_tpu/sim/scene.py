@@ -78,6 +78,16 @@ class SceneSpec:
     #: every pingpong task). Without it a deeply-jammed ragdoll's ground
     #: contact bias grows with penetration and the feedback loop diverges.
     max_depenetration_velocity: float = 10.0
+    #: opt-in articulation-link vs articulation-link narrowphase (self-
+    #: collision within one articulation + link pairs across articulations,
+    #: adjacent/rest-overlapping pairs excluded at build time). Default off —
+    #: PhysX parity: the reference's ``create_actor(..., group, filter)``
+    #: calls use filter bits that disable self-collision, and no reference
+    #: scene places two articulations within reach of each other
+    #: (humanoid_pingpong_4_actor_tilt.py:554-557 bases are 3.5 m apart vs
+    #: ~1 m arm reach). Enabling this routes the scene to the XLA contact
+    #: path (the fused kernels do not implement link-link pairs).
+    link_collision: bool = False
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,14 @@ class SimState(NamedTuple):
     dof_vel: jnp.ndarray    # (num_dofs,)
     dof_force: jnp.ndarray  # (num_dofs,) last applied drive torque (sensor parity)
     net_contact_force: jnp.ndarray  # (num_bodies, 3) per-step contact force (N2 parity)
+    #: (num_bodies, 3) per-step contact-moment sum about each body's frame
+    #: origin (ball bodies: about the ball center) — fills the torque lanes of
+    #: ``acquire_force_sensor_tensor`` (reference ``create_asset_force_sensor``
+    #: wrench). Exact on the XLA path always; on the fused single-articulation
+    #: kernel when the scene registers force sensors (sensor-less scenes skip
+    #: the channels — zero kernel cost); zero on the multi/floating fused
+    #: kernels (docs/PARITY.md).
+    net_contact_torque: jnp.ndarray
 
 
 class _GeomGroup(NamedTuple):
@@ -56,6 +64,9 @@ class _GeomGroup(NamedTuple):
     restitution: np.ndarray   # (k,)
     friction: np.ndarray      # (k,)
     radius_bound: np.ndarray  # (k,) bounding-sphere radius (ground contact)
+    body_off_pos: np.ndarray  # (k,3) body-frame origin rel. the link dof frame
+                              # (tree.body_ref_pos; zeros for statics) — the
+                              # reference point for force-sensor torque
 
 
 def _integrate_quat(quat, omega, dt):
@@ -127,6 +138,8 @@ class Simulator:
         self.max_depenetration = float(
             getattr(scene.spec, "max_depenetration_velocity", 10.0))
         self._build_geom_groups()
+        self._art_art_pairs = (self._build_art_art_pairs()
+                               if scene.spec.link_collision else [])
         self._step_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0))
         # step with per-env domain-randomization params (env/randomize.py)
         self._step_dr_vmapped = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0))
@@ -161,6 +174,7 @@ class Simulator:
                 restitution=np.asarray([g.restitution for g in gs], np.float32),
                 friction=np.asarray([g.friction for g in gs], np.float32),
                 radius_bound=np.asarray([float(np.max(g.size)) for g in gs], np.float32),
+                body_off_pos=np.zeros((len(gs), 3), np.float32),
             ))
         # articulation geoms grouped by (articulation, kind); offsets folded
         # through the welded body_ref transform at compile time
@@ -188,6 +202,8 @@ class Simulator:
                     radius_bound=np.asarray(
                         [float(g.size[0]) if g.kind == U.GEOM_SPHERE else float(np.max(g.size))
                          for g in gs], np.float32),
+                    body_off_pos=np.stack(
+                        [tree.body_ref_pos[g.body_index] for g in gs]).astype(np.float32),
                 ))
             self.art_groups[art_idx] = groups
 
@@ -198,6 +214,10 @@ class Simulator:
         (interpret mode; used by parity tests)."""
         import os
         if os.environ.get("ISAACGYM_TPU_PALLAS", "1") == "0" and not force:
+            return
+        if self.scene.spec.link_collision:
+            # link-vs-link narrowphase exists only on the XLA path; keep the
+            # whole scene there rather than silently dropping those contacts
             return
         if jax.default_backend() == "cpu" and not force:
             return
@@ -326,6 +346,7 @@ class Simulator:
             dof_vel=state.dof_vel.at[:, sl].set(out.qd_new),
             dof_force=state.dof_force.at[:, sl].set(out.tau),
             net_contact_force=ncf,
+            net_contact_torque=state.net_contact_torque,
         )
 
     def _maybe_build_fused(self) -> None:
@@ -380,7 +401,10 @@ class Simulator:
                 art_list.append(dict(kind=g.kind, art=g.art_index, link=link,
                                      off_pos=offp, off_quat=offq, size=g.size,
                                      e=g.restitution, mu=g.friction,
-                                     radius_bound=rb))
+                                     radius_bound=rb,
+                                     body_off=np.asarray(
+                                         tree.body_ref_pos[g.body_index],
+                                         np.float32)))
                 art_bodies.append(slot_g.body_start + g.body_index)
         self._fused_art_bodies = np.asarray(art_bodies)
 
@@ -401,6 +425,15 @@ class Simulator:
             single_art = [dict(g, **{}) for g in art_list]
             for g in single_art:
                 g.pop("art", None)
+            # force-sensor torque channels only when the scene registers
+            # sensors (reference semantics: create_asset_force_sensor is
+            # called on the asset BEFORE actor creation) — sensor-less
+            # scenes pay zero kernel ops for the lanes.
+            # ISAACGYM_TPU_TORQUE=1 forces them on (tests/tools).
+            import os as _os
+            from isaacgym_tpu.sim.asset_api import scene_force_sensor_body_indices
+            with_torque = (scene_force_sensor_body_indices(scene).size > 0
+                           or _os.environ.get("ISAACGYM_TPU_TORQUE") == "1")
             self._fused = PDK.build_fused_substep(
                 slot.model, init[0:3], init[3:7], slot.stiffness, slot.damping,
                 np.asarray(self.gravity), self.dt / self.substeps,
@@ -408,7 +441,7 @@ class Simulator:
                 bounce_threshold=self.bounce_threshold,
                 n_true_static=n_true_static,
                 max_depenetration=self.max_depenetration,
-                art_static=_art_static_enabled())
+                art_static=_art_static_enabled(), with_torque=with_torque)
             self._fused_dr = PDK.build_fused_substep(
                 slot.model, init[0:3], init[3:7], slot.stiffness, slot.damping,
                 np.asarray(self.gravity), self.dt / self.substeps,
@@ -416,7 +449,7 @@ class Simulator:
                 bounce_threshold=self.bounce_threshold, with_dr=True,
                 n_true_static=n_true_static,
                 max_depenetration=self.max_depenetration,
-                art_static=_art_static_enabled())
+                art_static=_art_static_enabled(), with_torque=with_torque)
             self._fused_slot = slot
             self._fused_ball = ball
             return
@@ -481,14 +514,17 @@ class Simulator:
 
     def step_dr(self, state: SimState, targets, efforts, dr) -> SimState:
         """Domain-randomized batched step; uses the DR-aware fused kernel
-        when eligible (base-welded geom materials stay unrandomized on this
-        path — they are folded as compile-time constants)."""
+        when eligible. Base-welded humanoid geoms receive the shape-property
+        DR scales too (round 4): their poses are compile-time constants but
+        their materials ride the per-env DR channel, matching the XLA path's
+        ``_ball_vs_art_group(dr)``."""
         if (getattr(self, "_fused_dr", None) is not None
                 and state.root.shape[0] % 128 == 0):
             def fused(state):
                 dt_s = self.dt / self.substeps
                 state = state._replace(
-                    net_contact_force=jnp.zeros_like(state.net_contact_force))
+                    net_contact_force=jnp.zeros_like(state.net_contact_force),
+                    net_contact_torque=jnp.zeros_like(state.net_contact_torque))
                 sl = slice(self._fused_slot.dof_start, self._fused_slot.dof_end)
                 dr_chan = jnp.concatenate([
                     dr.kp_scale[:, sl], dr.kd_scale[:, sl],
@@ -510,7 +546,9 @@ class Simulator:
 
     def _step_batched_pallas(self, state: SimState, targets, efforts) -> SimState:
         dt_s = self.dt / self.substeps
-        state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
+        state = state._replace(
+            net_contact_force=jnp.zeros_like(state.net_contact_force),
+            net_contact_torque=jnp.zeros_like(state.net_contact_torque))
         if self._fused is not None:
             sub = self._substep_fused
         elif self._fused_floating is not None:
@@ -554,6 +592,7 @@ class Simulator:
             dof_vel=out.qd_new,
             dof_force=out.tau,
             net_contact_force=ncf,
+            net_contact_torque=state.net_contact_torque,
         )
 
     def _substep_fused(self, state: SimState, targets, efforts, dt_s,
@@ -580,19 +619,28 @@ class Simulator:
         root = root.at[:, ball.actor_index, 7:10].set(out.ball_vel)
         root = root.at[:, ball.actor_index, 10:13].set(out.ball_omega)
         ncf = state.net_contact_force
+        nct = state.net_contact_torque
         ng = len(self._fused_art_bodies)
         inv_dt = 1.0 / self.dt
+        with_torque = out.impulses.shape[1] == 2 * ng + 2
         if ng:
             ncf = ncf.at[:, jnp.asarray(self._fused_art_bodies)].add(
                 out.impulses[:, :ng] * inv_dt)
+            if with_torque:
+                nct = nct.at[:, jnp.asarray(self._fused_art_bodies)].add(
+                    out.impulses[:, ng + 1:2 * ng + 1] * inv_dt)
         ball_imp = out.impulses[:, ng] - out.impulses[:, :ng].sum(axis=1)
         ncf = ncf.at[:, ball.body_start].add(ball_imp * inv_dt)
+        if with_torque:
+            nct = nct.at[:, ball.body_start].add(
+                out.impulses[:, 2 * ng + 1] * inv_dt)
         return SimState(
             root=root,
             dof_pos=state.dof_pos.at[:, sl].set(out.q_new),
             dof_vel=state.dof_vel.at[:, sl].set(out.qd_new),
             dof_force=state.dof_force.at[:, sl].set(out.tau),
             net_contact_force=ncf,
+            net_contact_torque=nct,
         )
 
     def _substep_pallas(self, state: SimState, targets, efforts, dt_s) -> SimState:
@@ -613,7 +661,7 @@ class Simulator:
             dof_force = dof_force.at[:, sl].set(out.tau)
             flat += [out.q_new, out.qd_new, out.frame_pos, out.frame_quat, out.chol]
 
-        def contact_one(root1, dp1, dv1, df1, ncf1, *art_flat):
+        def contact_one(root1, dp1, dv1, df1, ncf1, nct1, *art_flat):
             art_runtime = []
             it = iter(art_flat)
             for slot in scene.articulations:
@@ -627,10 +675,12 @@ class Simulator:
                     "frames": (fp, fq),
                 })
             return self._contacts_and_writeback(root1, dp1, dv1, df1,
-                                                art_runtime, dt_s, None, ncf=ncf1)
+                                                art_runtime, dt_s, None,
+                                                ncf=ncf1, nct=nct1)
 
         return jax.vmap(contact_one)(root, dof_pos, dof_vel, dof_force,
-                                     state.net_contact_force, *flat)
+                                     state.net_contact_force,
+                                     state.net_contact_torque, *flat)
 
     # ------------------------------------------------------------------
     # state construction
@@ -643,6 +693,7 @@ class Simulator:
             dof_vel=jnp.zeros(self.scene.num_dofs, jnp.float32),
             dof_force=jnp.zeros(self.scene.num_dofs, jnp.float32),
             net_contact_force=jnp.zeros((self.scene.num_bodies, 3), jnp.float32),
+            net_contact_torque=jnp.zeros((self.scene.num_bodies, 3), jnp.float32),
         )
         if batch is None:
             return s
@@ -654,7 +705,9 @@ class Simulator:
 
     def _step_single(self, state: SimState, targets, efforts, dr=None) -> SimState:
         dt_s = self.dt / self.substeps
-        state = state._replace(net_contact_force=jnp.zeros_like(state.net_contact_force))
+        state = state._replace(
+            net_contact_force=jnp.zeros_like(state.net_contact_force),
+            net_contact_torque=jnp.zeros_like(state.net_contact_torque))
         for _ in range(self.substeps):
             state = self._substep(state, targets, efforts, dt_s, dr)
         return state
@@ -739,18 +792,23 @@ class Simulator:
 
         return self._contacts_and_writeback(root, dof_pos, dof_vel, dof_force,
                                             art_runtime, dt_s, dr,
-                                            ncf=state.net_contact_force)
+                                            ncf=state.net_contact_force,
+                                            nct=state.net_contact_torque)
 
     def _contacts_and_writeback(self, root, dof_pos, dof_vel, dof_force,
-                                art_runtime, dt_s, dr, ncf=None):
+                                art_runtime, dt_s, dr, ncf=None, nct=None):
         """Shared contact + integration tail (single env); consumed by both
         the XLA articulation phase and the fused Pallas kernel phase.
-        Accumulates per-body net contact forces (impulse / step dt) into the
-        state — the reference ``net_contact_force_tensor`` capability."""
+        Accumulates per-body net contact forces (impulse / step dt) and
+        contact moments about each body's frame origin (ball bodies: about
+        the ball center) into the state — the reference
+        ``net_contact_force_tensor`` + force-sensor wrench capability."""
         scene = self.scene
         gravity = self.gravity if dr is None else self.gravity + dr.gravity_offset
         if ncf is None:
             ncf = jnp.zeros((scene.num_bodies, 3), jnp.float32)
+        if nct is None:
+            nct = jnp.zeros((scene.num_bodies, 3), jnp.float32)
 
         # -- free bodies (balls): gravity + environment contacts ---------------
         ball_states = []
@@ -796,20 +854,28 @@ class Simulator:
                 omega = omega + dw
                 pos = C.depenetrate(pos, frame._replace(dist=now_dist), active)
                 ncf = ncf.at[ball.body_start].add(dv * (ball.mass / self.dt))
+                # contact moment about the ball center: lever = -r n
+                nct = nct.at[ball.body_start].add(
+                    -ball.radius * jnp.cross(frame.normal, dv)
+                    * (ball.mass / self.dt))
 
             for grp in self.static_groups:
-                pos, vel, omega, dv_tot = self._ball_vs_static_group(
+                pos, vel, omega, dv_tot, tq_ball = self._ball_vs_static_group(
                     root, grp, ball, pos, vel, omega, dt_s)
                 ncf = ncf.at[ball.body_start].add(dv_tot * (ball.mass / self.dt))
+                nct = nct.at[ball.body_start].add(tq_ball * (ball.mass / self.dt))
 
             for art_idx, groups in self.art_groups.items():
                 rt = art_runtime[art_idx]
                 for grp in groups:
-                    pos, vel, omega, du, P = self._ball_vs_art_group(
-                        rt, grp, ball, pos, vel, omega, dt_s, dr)
+                    pos, vel, omega, du, P, tq_art, tq_ball = \
+                        self._ball_vs_art_group(
+                            rt, grp, ball, pos, vel, omega, dt_s, dr)
                     rt["u"] = rt["u"] + du
                     ncf = ncf.at[ball.body_start].add(P.sum(axis=0) / self.dt)
                     ncf = ncf.at[jnp.asarray(grp.body)].add(-P / self.dt)
+                    nct = nct.at[ball.body_start].add(tq_ball / self.dt)
+                    nct = nct.at[jnp.asarray(grp.body)].add(tq_art / self.dt)
 
             ball_states.append([pos, vel, omega])
 
@@ -860,6 +926,11 @@ class Simulator:
                 ball_states[j][0] = pb - 0.5 * push * n
                 ncf = ncf.at[a.body_start].add(P / self.dt)
                 ncf = ncf.at[b.body_start].add(-P / self.dt)
+                # moments about each ball's center (contact at +-r n)
+                nct = nct.at[a.body_start].add(
+                    -a.radius * jnp.cross(n, P) / self.dt)
+                nct = nct.at[b.body_start].add(
+                    -b.radius * jnp.cross(n, P) / self.dt)
 
         # -- clamp + integrate + write back -------------------------------------
         for ball, (pos, vel, omega) in zip(scene.free_bodies, ball_states):
@@ -895,11 +966,21 @@ class Simulator:
                 own_actor = rt["slot"].actor_index
                 for grp in groups:
                     for sgrp in self.static_groups:
-                        du, P_sum, body_pairs = self._art_vs_static_group(
+                        du, P_sum, tq_sum = self._art_vs_static_group(
                             rt, grp, sgrp, root, dt_s)
                         rt["u"] = rt["u"] + du
                         ncf = ncf.at[jnp.asarray(grp.body)].add(
                             P_sum / self.dt)
+                        nct = nct.at[jnp.asarray(grp.body)].add(
+                            tq_sum / self.dt)
+
+        # -- articulation links vs articulation links (opt-in narrowphase,
+        # SceneSpec.link_collision: self-collision + cross-articulation link
+        # pairs, compile-time pruned — crossing paddles collide instead of
+        # passing through) -----------------------------------------------------
+        for pa, pb in self._art_art_pairs:
+            ncf, nct = self._art_vs_art_pair(pa, pb, art_runtime, ncf, nct,
+                                             dt_s)
 
         # -- floating articulations vs ground (feet etc.) ----------------------
         if scene.spec.plane is not None:
@@ -924,7 +1005,8 @@ class Simulator:
                 dof_vel = dof_vel.at[slot.dof_start:slot.dof_end].set(u)
 
         return SimState(root=root, dof_pos=dof_pos, dof_vel=dof_vel,
-                        dof_force=dof_force, net_contact_force=ncf)
+                        dof_force=dof_force, net_contact_force=ncf,
+                        net_contact_torque=nct)
 
     # ------------------------------------------------------------------
     # contact helpers (vectorized over geom groups)
@@ -966,7 +1048,9 @@ class Simulator:
         vel = vel + dv_tot
         omega = omega + dw.sum(axis=0)
         push = jnp.where(active[:, None], frame.normal * jnp.maximum(-now_dist, 0.0)[:, None], 0.0)
-        return pos + push.sum(axis=0), vel, omega, dv_tot
+        # per-geom moment about the ball center (lever = -r n_i), in dv units
+        tq_ball = (-ball.radius * jnp.cross(frame.normal, dv)).sum(axis=0)
+        return pos + push.sum(axis=0), vel, omega, dv_tot, tq_ball
 
     def _ball_vs_art_group(self, rt, grp: _GeomGroup, ball, pos, vel, omega,
                            dt_s, dr=None):
@@ -1047,7 +1131,12 @@ class Simulator:
             jnp.cross(n, t_hat) * Pt[:, None]).sum(axis=0)
         du = -jnp.einsum("kav,ka->v", MinvJT, P)
         push = jnp.where(active[:, None], n * jnp.maximum(-frame0.dist, 0.0)[:, None], 0.0)
-        return pos + push.sum(axis=0), vel, omega, du, P
+        # contact moments: about the ball center (lever = point - ball pos)
+        # and about each geom body's frame origin (impulse units)
+        tq_ball = jnp.cross(frame0.point - pos[None], P).sum(axis=0)
+        borg = bp + rot.quat_rotate(bq, jnp.asarray(grp.body_off_pos))
+        tq_art = jnp.cross(frame0.point - borg, -P)
+        return pos + push.sum(axis=0), vel, omega, du, P, tq_art, tq_ball
 
     def _art_vs_static_group(self, rt, grp: _GeomGroup, sgrp: _GeomGroup,
                              root, dt_s):
@@ -1057,7 +1146,8 @@ class Simulator:
         extended from {plane} to the scene's static geoms (VERDICT r2
         missing item 1; PhysX gives the reference this for free).
 
-        Returns (du, P_sum_per_art_geom (k,3), None)."""
+        Returns (du, P_sum_per_art_geom (k,3), torque_sum_per_art_geom
+        (k,3) about each geom body's frame origin)."""
         model = rt["slot"].model
         fp, fq = rt["frames"]
         nd = model.tree.n_dof
@@ -1120,7 +1210,197 @@ class Simulator:
             u = u + jnp.einsum("av,a->v", MinvJT[i], P)
             P_rows.append(P)
         P_all = jnp.stack(P_rows)                                        # (k*s,3)
-        return u - u0, P_all.reshape(k, s, 3).sum(axis=1), None
+        borg = bp + rot.quat_rotate(bq, jnp.asarray(grp.body_off_pos))   # (k,3)
+        levers = points - jnp.repeat(borg, s, axis=0)
+        tq_all = jnp.cross(levers, P_all)
+        return (u - u0, P_all.reshape(k, s, 3).sum(axis=1),
+                tq_all.reshape(k, s, 3).sum(axis=1))
+
+    def _build_art_art_pairs(self):
+        """Compile-time pair list for the opt-in link-vs-link narrowphase
+        (``SceneSpec.link_collision``): bounding sphere of one articulation
+        geom vs the exact primitive of another. PhysX-default-like filters
+        applied at build time:
+
+        - same-link and adjacent-link (parent/child dof, or base-welded vs a
+          chain root) pairs excluded — the standard URDF adjacency filter;
+        - pairs overlapping at the build (rest) configuration excluded, both
+          directions of the sphere/exact asymmetry checked;
+        - cross-articulation pairs provably out of reach excluded (fixed-base
+          chain-norm bound, same bound as the art-vs-static pruning);
+        - pairs where neither side has any mobility excluded (a fixed-base
+          welded geom pair cannot move, so there is nothing to resolve).
+        """
+        from isaacgym_tpu.ops import pallas_dynamics as PDK
+        scene = self.scene
+        geoms = []
+        for g in scene.art_geoms:
+            slot = scene.articulations[g.art_index]
+            tree = slot.model.tree
+            link = int(tree.body_ref_dof[g.body_index])
+            offp, offq = _compose(tree.body_ref_pos[g.body_index],
+                                  tree.body_ref_quat[g.body_index],
+                                  g.local_pos, g.local_quat)
+            rb = (float(g.size[0]) if g.kind == U.GEOM_SPHERE
+                  else float(np.max(g.size)))
+            geoms.append(dict(art=g.art_index, link=link, off_pos=offp,
+                              off_quat=offq, kind=g.kind,
+                              size=np.asarray(g.size, np.float32),
+                              e=float(g.restitution), mu=float(g.friction),
+                              radius_bound=rb,
+                              body=slot.body_start + g.body_index,
+                              body_off=np.asarray(
+                                  tree.body_ref_pos[g.body_index], np.float32)))
+        # rest-pose world transforms: numpy FK at the zero joint configuration
+        world = []
+        for g in geoms:
+            slot = scene.articulations[g["art"]]
+            init = scene.initial_root[slot.actor_index]
+            tree = slot.model.tree
+            p, q = np.asarray(init[0:3]), np.asarray(init[3:7])
+            chain = []
+            d = g["link"]
+            while d >= 0:
+                chain.append(d)
+                d = int(tree.dof_parent[d])
+            for d in reversed(chain):
+                p, q = _compose(p, q, tree.dof_pre_pos[d], tree.dof_pre_quat[d])
+            p, q = _compose(p, q, g["off_pos"], g["off_quat"])
+            world.append((p, q))
+
+        def adjacent(tree, la, lb):
+            if la == lb:
+                return True
+            if la >= 0 and int(tree.dof_parent[la]) == lb:
+                return True
+            if lb >= 0 and int(tree.dof_parent[lb]) == la:
+                return True
+            if la < 0 and lb >= 0 and int(tree.dof_parent[lb]) < 0:
+                return True
+            if lb < 0 and la >= 0 and int(tree.dof_parent[la]) < 0:
+                return True
+            return False
+
+        def rest_dist(i, j):
+            pi, _qi = world[i]
+            pj, qj = world[j]
+            sg = dict(kind=geoms[j]["kind"], pos=pj, quat=qj,
+                      size=geoms[j]["size"])
+            return PDK._point_geom_dist_np(pi, sg) - geoms[i]["radius_bound"]
+
+        pairs = []
+        for i in range(len(geoms)):
+            for j in range(i + 1, len(geoms)):
+                a, b = geoms[i], geoms[j]
+                sa = scene.articulations[a["art"]]
+                sb = scene.articulations[b["art"]]
+                if a["art"] == b["art"]:
+                    if adjacent(sa.model.tree, a["link"], b["link"]):
+                        continue
+                elif not sa.model.floating and not sb.model.floating:
+                    ia = np.asarray(scene.initial_root[sa.actor_index][0:3])
+                    ib = np.asarray(scene.initial_root[sb.actor_index][0:3])
+                    gap = float(np.linalg.norm(ia - ib))
+                    if gap > (PDK._art_geom_reach_np(sa.model, a)
+                              + PDK._art_geom_reach_np(sb.model, b) + 0.03):
+                        continue
+                a_mobile = a["link"] >= 0 or sa.model.floating
+                b_mobile = b["link"] >= 0 or sb.model.floating
+                if not (a_mobile or b_mobile):
+                    continue
+                if min(rest_dist(i, j), rest_dist(j, i)) < 0.005:
+                    continue
+                # sphere side = smaller bounding radius (tighter approximation)
+                if a["radius_bound"] <= b["radius_bound"]:
+                    pairs.append((a, b))
+                else:
+                    pairs.append((b, a))
+        return pairs
+
+    def _art_vs_art_pair(self, a, b, art_runtime, ncf, nct, dt_s):
+        """One link-link contact of the opt-in narrowphase: bounding sphere
+        of geom ``a`` vs the exact primitive of geom ``b``. The impulse lands
+        on BOTH articulations' generalized velocities (same-articulation
+        pairs use the relative Jacobian through the shared mass matrix);
+        resolution is sequential Gauss-Seidel across pairs, like
+        :meth:`_art_vs_static_group`. Mutates ``rt["u"]`` in the runtime
+        dicts and returns the updated ``(ncf, nct)``."""
+        rta, rtb = art_runtime[a["art"]], art_runtime[b["art"]]
+
+        def geom_frame(rt, g):
+            fp, fq = rt["frames"]
+            if g["link"] < 0:
+                bp, bq = rt["base_pos"], rt["base_quat"]
+            else:
+                bp, bq = fp[g["link"]], fq[g["link"]]
+            return (bp + rot.quat_rotate(bq, jnp.asarray(g["off_pos"])),
+                    rot.quat_mul(bq, jnp.asarray(g["off_quat"])))
+
+        ca, _qa = geom_frame(rta, a)
+        gp, gq = geom_frame(rtb, b)
+        frame = self._frames_for_group(int(b["kind"]), ca,
+                                       float(a["radius_bound"]),
+                                       gp[None], gq[None], b["size"][None])
+        dist = frame.dist[0]
+        n = frame.normal[0]          # away from b's surface, toward a
+        point = frame.point[0]
+
+        Ja = D.point_jacobians(rta["slot"].model, rta["frames"],
+                               rta["base_pos"], np.asarray([a["link"]]),
+                               point[None])[0]                       # (3,nva)
+        Jb = D.point_jacobians(rtb["slot"].model, rtb["frames"],
+                               rtb["base_pos"], np.asarray([b["link"]]),
+                               point[None])[0]                       # (3,nvb)
+        same = a["art"] == b["art"]
+        if same:
+            Jrel = Ja - Jb
+            Za = L.chol_solve(rta["chol"], Jrel.T)                   # (nv,3)
+            K = Jrel @ Za
+            v_rel = Jrel @ rta["u"]
+        else:
+            Za = L.chol_solve(rta["chol"], Ja.T)
+            Zb = L.chol_solve(rtb["chol"], Jb.T)
+            K = Ja @ Za + Jb @ Zb
+            v_rel = Ja @ rta["u"] - Jb @ rtb["u"]
+
+        vn = jnp.sum(v_rel * n)
+        active = (dist < 0.0) & (vn < 0.1)
+        bias = jnp.minimum(0.2 / dt_s * jnp.maximum(-dist - 0.005, 0.0),
+                           self.max_depenetration)
+        e, mu = C.combine_material(a["e"], b["e"], a["mu"], b["mu"])
+        e_eff = jnp.where(jnp.abs(vn) > self.bounce_threshold, e, 0.0)
+        w_n = n @ K @ n
+        Pn = jnp.where(active,
+                       (-(1.0 + e_eff) * jnp.minimum(vn, 0.0) + bias)
+                       / jnp.maximum(w_n, 1e-9), 0.0)
+        vt = v_rel - vn * n
+        vt_norm = jnp.linalg.norm(vt)
+        t_hat = vt / jnp.maximum(vt_norm, 1e-9)
+        w_t = t_hat @ K @ t_hat
+        Pt = jnp.where(active,
+                       jnp.minimum(mu * Pn, vt_norm / jnp.maximum(w_t, 1e-9)),
+                       0.0)
+        P = Pn * n - Pt * t_hat
+        if same:
+            rta["u"] = rta["u"] + Za @ P
+        else:
+            rta["u"] = rta["u"] + Za @ P
+            rtb["u"] = rtb["u"] - Zb @ P
+        ncf = ncf.at[a["body"]].add(P / self.dt)
+        ncf = ncf.at[b["body"]].add(-P / self.dt)
+
+        def borg_of(rt, g):
+            fp, fq = rt["frames"]
+            if g["link"] < 0:
+                bp_, bq_ = rt["base_pos"], rt["base_quat"]
+            else:
+                bp_, bq_ = fp[g["link"]], fq[g["link"]]
+            return bp_ + rot.quat_rotate(bq_, jnp.asarray(g["body_off"]))
+        nct = nct.at[a["body"]].add(
+            jnp.cross(point - borg_of(rta, a), P) / self.dt)
+        nct = nct.at[b["body"]].add(
+            jnp.cross(point - borg_of(rtb, b), -P) / self.dt)
+        return ncf, nct
 
     def _art_vs_ground_group(self, rt, grp: _GeomGroup, dt_s):
         """Articulation geoms (bounding spheres) vs ground plane; Baumgarte-

@@ -57,16 +57,19 @@ def acquire_net_contact_force_tensor(state: SimState) -> jnp.ndarray:
 
 def acquire_force_sensor_tensor(sim: Simulator, state: SimState,
                                 body_indices=None) -> jnp.ndarray:
-    """(B, n_sensors, 6) wrench readings: [force(3), torque(3)] — torque
-    reported as zero (point-contact model; the reference's foot force sensors
-    read forces only in practice). ``body_indices`` are env-level body rows;
-    default: every sensor registered via ``create_asset_force_sensor``
+    """(B, n_sensors, 6) wrench readings: [force(3), torque(3)] — the torque
+    lanes carry the contact-moment sum about the sensor body's frame origin
+    (``state.net_contact_torque``; exact on the XLA path and the fused
+    single-articulation kernel, zero on the multi/floating fused kernels —
+    docs/PARITY.md). ``body_indices`` are env-level body rows; default:
+    every sensor registered via ``create_asset_force_sensor``
     (sim/asset_api.py), in actor order — the reference's tensor ordering."""
     if body_indices is None:
         from isaacgym_tpu.sim.asset_api import scene_force_sensor_body_indices
         body_indices = scene_force_sensor_body_indices(sim.scene)
     forces = state.net_contact_force[:, jnp.asarray(body_indices), :]
-    return jnp.concatenate([forces, jnp.zeros_like(forces)], axis=-1)
+    torques = state.net_contact_torque[:, jnp.asarray(body_indices), :]
+    return jnp.concatenate([forces, torques], axis=-1)
 
 
 def acquire_camera_image_tensor(camera, sim: Simulator, state: SimState,

@@ -68,7 +68,8 @@ class Humanoid12PingpongTilt(HumanoidPingpongTilt):
             self.event_flag_names = dict(HumanoidPingpongTilt.event_flag_names)
             self.event_flag_names.update({
                 "condition_calculated2": "hit_paddle2",
-                "reward_calculated2": "hit_opponent_table2"})
+                "hit_table_good2": "hit_opponent_table2",
+                "crossed_net2": "cross_net2"})
 
     def rb_body_ids(self):
         ids = self.body_states_id
@@ -85,6 +86,8 @@ class Humanoid12PingpongTilt(HumanoidPingpongTilt):
                 "condition_calculated2": jnp.asarray(False),
                 "reward_calculated2": jnp.asarray(False),
                 "no_bounce_before_half_mask2": jnp.asarray(True),
+                "hit_table_good2": jnp.asarray(False),
+                "crossed_net2": jnp.asarray(False),
             })
         return flags
 
@@ -112,7 +115,7 @@ class Humanoid12PingpongTilt(HumanoidPingpongTilt):
                                          flags, progress)
         n = len(self.body_states_id)
         c1 = self._common_reward_inputs(pre_ball_root, sim, rb_states)
-        r1, cc1, rc1, nb1 = self._tilt_reward_core(
+        r1, cc1, rc1, nb1, _ev1 = self._tilt_reward_core(
             c1, flags["condition_calculated"], flags["reward_calculated"],
             flags["no_bounce_before_half_mask"])
 
@@ -129,7 +132,7 @@ class Humanoid12PingpongTilt(HumanoidPingpongTilt):
             pre_vx=-pre_ball_root[7],
             humanoid_x=m - sim.root[1][0],
         )
-        r2, cc2, rc2, nb2 = self._tilt_reward_core(
+        r2, cc2, rc2, nb2, _ev2 = self._tilt_reward_core(
             c2, flags["condition_calculated2"], flags["reward_calculated2"],
             flags["no_bounce_before_half_mask2"])
 
@@ -142,6 +145,10 @@ class Humanoid12PingpongTilt(HumanoidPingpongTilt):
         return reward, reset, {
             "condition_calculated": cc1, "reward_calculated": rc1,
             "no_bounce_before_half_mask": nb1,
+            "hit_table_good": flags["hit_table_good"] | _ev1["good"],
+            "crossed_net": flags["crossed_net"] | _ev1["over_net"],
             "condition_calculated2": cc2, "reward_calculated2": rc2,
             "no_bounce_before_half_mask2": nb2,
+            "hit_table_good2": flags["hit_table_good2"] | _ev2["good"],
+            "crossed_net2": flags["crossed_net2"] | _ev2["over_net"],
         }

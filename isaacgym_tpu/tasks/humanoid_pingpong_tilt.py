@@ -35,15 +35,22 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
         self.not_hit_table_penalty = float(env["nothitTablePenalty"])
         super().__init__(cfg, seed=seed)
 
-    # per-episode event telemetry (reference event prints :1333-1337)
+    # per-episode event telemetry (reference event prints :1333-1337).
+    # ``hit_table_good``/``crossed_net`` are telemetry-only latches for the
+    # TRUE one-shot good-bounce / net-window events (``reward_calculated``
+    # also latches on the short-bounce and overshoot PENALTIES, so it cannot
+    # serve as a success rate).
     event_flag_names = {"condition_calculated": "hit_paddle",
-                        "reward_calculated": "hit_opponent_table"}
+                        "hit_table_good": "hit_opponent_table",
+                        "crossed_net": "cross_net"}
 
     def init_flags(self) -> Dict[str, jnp.ndarray]:
         return {
             "condition_calculated": jnp.asarray(False),
             "reward_calculated": jnp.asarray(False),
             "no_bounce_before_half_mask": jnp.asarray(True),
+            "hit_table_good": jnp.asarray(False),
+            "crossed_net": jnp.asarray(False),
         }
 
     def _tilt_reward_core(self, c, cond_calc, rew_calc, no_bounce):
@@ -54,7 +61,9 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
         ``compute_humanoid2_pingpong_reward`` windows exactly
         (/root/reference/tasks/humanoid_pingpong_4_actor_tilt.py:1281-1440:
         2.44 -> 1.06, 3.1 -> 0.4, net window self-symmetric).
-        Returns (reward, cond_calc, rew_calc, no_bounce)."""
+        Returns (reward, cond_calc, rew_calc, no_bounce, events) with
+        ``events`` the telemetry-only dict {good (one-shot good table hit
+        this step), over_net (ball inside the net window this step)}."""
         ball_pos = c["ball_pos"]
         vx = c["ball_vx"]
 
@@ -96,12 +105,13 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
 
         reward = (reward + pos_reward + velocity_reward
                   + hit_reward + cross_net_reward)
-        return reward, cond_calc, rew_calc, no_bounce
+        return reward, cond_calc, rew_calc, no_bounce, {
+            "good": good, "over_net": over_net}
 
     def reward_single(self, pre_ball_root, sim: SimState, rb_states, flags,
                       progress) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
         c = self._common_reward_inputs(pre_ball_root, sim, rb_states)
-        reward, cond_calc, rew_calc, no_bounce = self._tilt_reward_core(
+        reward, cond_calc, rew_calc, no_bounce, ev = self._tilt_reward_core(
             c, flags["condition_calculated"], flags["reward_calculated"],
             flags["no_bounce_before_half_mask"])
         reward = reward + c["power_reward"]
@@ -112,4 +122,6 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
             "condition_calculated": cond_calc,
             "reward_calculated": rew_calc,
             "no_bounce_before_half_mask": no_bounce,
+            "hit_table_good": flags["hit_table_good"] | ev["good"],
+            "crossed_net": flags["crossed_net"] | ev["over_net"],
         }

@@ -97,6 +97,8 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
         )
     return SceneSpec(
         actors=actors,
+        link_collision=bool(sc.get("linkCollision",
+                                   env_cfg.get("linkCollision", False))),
         terrain=terrain,
         plane=PlaneParams(
             static_friction=plane_cfg.get("staticFriction", 1.0),

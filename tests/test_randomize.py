@@ -71,3 +71,75 @@ def test_identity_params_are_neutral():
     p = identity_params(7)
     np.testing.assert_allclose(np.asarray(p.mass_scale), 1.0)
     np.testing.assert_allclose(np.asarray(p.gravity_offset), 0.0)
+
+
+def test_welded_geom_restitution_dr_on_fused_path():
+    """Round 4 (VERDICT r3 item 9): shape-property DR of BASE-WELDED humanoid
+    geoms must change fused-path trajectories — their poses are compile-time
+    constants but their materials ride the per-env DR channel. A ball bounced
+    off the torso (welded geom) must feel ``restitution_scale``; a ball
+    bounced off the TABLE (true static, different actor) must not."""
+    from isaacgym_tpu.sim.scene import compile_scene
+    from isaacgym_tpu.sim.simulator import Simulator
+    from isaacgym_tpu.tasks.pingpong_common import build_pingpong_scene
+    from isaacgym_tpu.env.randomize import identity_params
+    from isaacgym_tpu.models import urdf as U
+    from isaacgym_tpu.models.kinematics import _qrot as np_qrot, _qmul as np_qmul
+
+    cfg = load_task_config(TASK)
+    scene = compile_scene(build_pingpong_scene(cfg["env"], cfg["sim"]))
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused is not None and sim._fused_dr is not None
+
+    # world position of a base-welded humanoid geom (link < 0)
+    slot = scene.articulations[0]
+    tree = slot.model.tree
+    init = scene.initial_root[slot.actor_index]
+    welded = [g for g in scene.art_geoms
+              if int(tree.body_ref_dof[g.body_index]) < 0]
+    assert welded, "expected base-welded humanoid geoms"
+    g = welded[0]
+    p = np.asarray(init[0:3], np.float64)
+    q = np.asarray(init[3:7], np.float64)
+    bp = p + np_qrot(q, np.asarray(tree.body_ref_pos[g.body_index], np.float64))
+    bq = np_qmul(q, np.asarray(tree.body_ref_quat[g.body_index], np.float64))
+    gw = bp + np_qrot(bq, np.asarray(g.local_pos, np.float64))
+
+    B = 128
+    ball_rad = scene.free_bodies[0].radius
+    margin = float(np.max(g.size)) + ball_rad + 0.03
+
+    def run(target_xyz, approach, rest_scale, steps=6):
+        state = sim.initial_state(batch=B)
+        start = jnp.asarray(target_xyz) - jnp.asarray(approach) * margin
+        state = state._replace(root=state.root.at[:, 2, 0:3].set(start)
+                               .at[:, 2, 7:10].set(jnp.asarray(approach) * 8.0))
+        p0 = identity_params(7)
+        dr = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), p0)
+        dr = dr._replace(restitution_scale=jnp.full((B,), rest_scale))
+        tgt = jnp.zeros((B, 7))
+
+        def roll(state):
+            def body(s, _):
+                return sim.step_dr(s, tgt, tgt, dr), None
+            s2, _ = jax.lax.scan(body, state, None, length=steps)
+            return s2
+        state = jax.jit(roll)(state)
+        return np.asarray(state.root[0, 2])
+
+    # strike the welded torso geom laterally: restitution DR must matter
+    n_hat = (gw - np.asarray([gw[0] + 1.0, gw[1], gw[2]]))
+    approach = n_hat / np.linalg.norm(n_hat)          # -x approach
+    base = run(gw, approach, 1.0)
+    hot = run(gw, approach, 1.5)
+    assert not np.allclose(base, hot, atol=1e-6), (
+        "welded-geom restitution DR had no effect on the fused path")
+
+    # strike the TABLE TOP (true static, not the humanoid actor): the
+    # humanoid's shape DR must NOT leak onto it
+    table = np.asarray(cfg["env"]["scene"]["tablePos"], np.float64)
+    top = np.asarray([table[0], table[1], 0.795])
+    base_t = run(top, np.asarray([0.0, 0.0, -1.0]), 1.0)
+    hot_t = run(top, np.asarray([0.0, 0.0, -1.0]), 1.5)
+    np.testing.assert_allclose(base_t, hot_t, atol=1e-7)

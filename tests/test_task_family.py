@@ -52,7 +52,8 @@ def test_c6_dims_flags_and_events():
     assert env.max_episode_length == 140
     state, obs = env.reset()
     assert set(state.flags) == {"condition_calculated", "reward_calculated",
-                                "no_bounce_before_half_mask"}
+                                "no_bounce_before_half_mask",
+                                "hit_table_good", "crossed_net"}
     ball = np.asarray(state.sim.root[:, 2, :])
     # 3-D launch at 8.0-8.6 m/s
     speed = np.linalg.norm(ball[:, 7:10], axis=1)

@@ -16,8 +16,15 @@ import os
 import sys
 
 KEYS = ("epoch", "episode_return_mean", "episode_length_mean",
-        "episode_count", "reward_mean", "kl", "last_lr",
-        "event_hit_paddle_rate", "event_missed_ball_rate", "env_steps_per_s")
+        "episode_count", "reward_mean", "kl", "last_lr", "env_steps_per_s")
+# every per-episode event rate survives distillation (C6 needs
+# hit_opponent_table/cross_net, C7 hit_paddle/missed_ball, C10 fall/hit)
+
+
+def _keep(row):
+    out = {k: row[k] for k in KEYS if k in row}
+    out.update({k: v for k, v in row.items() if k.startswith("event_")})
+    return out
 
 
 def distill(run_dir: str, stride: int = 10, out_dir: str = "docs/runs") -> str:
@@ -36,7 +43,7 @@ def distill(run_dir: str, stride: int = 10, out_dir: str = "docs/runs") -> str:
             # keep strided rows and every row where episodes completed
             if row.get("epoch", 0) % stride and not row.get("episode_count"):
                 continue
-            out.write(json.dumps({k: row[k] for k in KEYS if k in row}) + "\n")
+            out.write(json.dumps(_keep(row)) + "\n")
             n_out += 1
     cfg = os.path.join(run_dir, "config.json")
     if os.path.exists(cfg):

@@ -1,4 +1,4 @@
-"""Fused-Pallas vs pure-XLA single-step parity on the real chip.
+"""Fused-Pallas vs pure-XLA single-step parity on the real chip — as a GATE.
 
 The CPU test suite checks kernel parity in Pallas interpret mode, which is
 too slow to compile for the big scenes (nv=33 C10, 26-DOF C11); this tool
@@ -9,15 +9,29 @@ runs the SAME check compiled on the TPU, where both paths are fast:
 2. from each saved state, take ONE step under the fused path and under the
    pure-XLA path (``ISAACGYM_TPU_PALLAS=0``) with the same action;
 3. report max/mean absolute deviation of dof_pos / dof_vel / root states /
-   obs / reward.
+   ncf / obs / reward — each BOTH raw and with flip-amplified envs excluded —
+   and PASS/FAIL the no-flip deviations against per-task thresholds.
 
 Single-step comparison isolates kernel accuracy from chaotic trajectory
 divergence (contact dynamics amplify f32 reassociation noise exponentially
-over a rollout; one step bounds it).
+over a rollout; one step bounds it). Two amplification channels are counted
+and excluded from the gated metrics, because both turn last-ulp noise into
+O(1) state deltas through a discrete branch, which no finite tolerance on
+the continuous fields could distinguish from real kernel error:
+
+- reset_flips: the done flag differs, so one path teleports the env;
+- contact_flips: a contact/event activation predicate flipped at an f32
+  margin (detected as a one-step root delta > 0.1 in a non-reset env).
+
+The flip RATES themselves are part of the gate (``max_flip_rate``): a kernel
+bug that systematically changes activation would blow the rate far past the
+f32-margin baseline measured per task.
 
 Usage:
   python tools/parity_tpu.py [task] [num_envs] [steps] [stride] [seed]
+      [--out runs/parity.jsonl] [--all]
 Defaults: HumanoidPingpongTiltNESSparse27DOFG1 256 160 10 0
+``--all`` runs the whole gated-task table and exits nonzero on any failure.
 """
 
 from __future__ import annotations
@@ -28,20 +42,42 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Per-task parity gates for the no-flip single-step deviations. Scale
+# context: dof_vel is O(30) rad/s (C10 O(100) — random-action ragdolls),
+# root mixes meters and m/s, obs are normalized O(1), reward O(100).
+# Flagship-class scenes (single fixed-base arm kernel) hold ~1e-5 parity;
+# the floating/multi kernels accumulate more reassociation noise through
+# the nv=33 Cholesky and many-contact ground phase (bounds from the r4
+# measurement with ~10x headroom, see docs/PARITY.md).
+GATES = {
+    "HumanoidPingpongTiltNoEarlyStopG1": dict(
+        max_dof_pos=1e-4, max_dof_vel=5e-3, max_root=1e-4, max_ncf=2.0,
+        max_obs=5e-3, max_reward=5.0, max_flip_rate=0.01),
+    "HumanoidPingpongTiltG1": dict(
+        max_dof_pos=1e-4, max_dof_vel=5e-3, max_root=1e-4, max_ncf=2.0,
+        max_obs=5e-3, max_reward=5.0, max_flip_rate=0.01),
+    "Humanoid12PingpongTiltG1": dict(
+        max_dof_pos=1e-4, max_dof_vel=5e-3, max_root=1e-4, max_ncf=2.0,
+        max_obs=5e-3, max_reward=5.0, max_flip_rate=0.02),
+    "HumanoidPingpongTiltNESSparse27DOFG1": dict(
+        max_dof_pos=5e-3, max_dof_vel=2.0, max_root=0.1, max_ncf=50.0,
+        max_obs=2.0, max_reward=50.0, max_flip_rate=0.25),
+    "HumanoidPingpong5ActorG1": dict(
+        max_dof_pos=5e-3, max_dof_vel=2.0, max_root=0.1, max_ncf=50.0,
+        max_obs=2.0, max_reward=50.0, max_flip_rate=0.10),
+}
+GATED_FIELDS = ("dof_pos", "dof_vel", "root", "ncf", "obs", "reward")
+DEFAULT_SIZES = {  # envs per gated task (reference numEnvs class, CCD-heavy)
+    "HumanoidPingpongTiltNoEarlyStopG1": 1024,
+    "HumanoidPingpongTiltG1": 1024,
+    "Humanoid12PingpongTiltG1": 512,
+    "HumanoidPingpongTiltNESSparse27DOFG1": 256,
+    "HumanoidPingpong5ActorG1": 256,
+}
 
-def main(argv=None):
-    argv = list(sys.argv[1:] if argv is None else argv)
-    task = argv[0] if argv else "HumanoidPingpongTiltNESSparse27DOFG1"
-    num_envs = int(argv[1]) if len(argv) > 1 else 256
-    steps = int(argv[2]) if len(argv) > 2 else 160
-    stride = int(argv[3]) if len(argv) > 3 else 10
-    seed = int(argv[4]) if len(argv) > 4 else 0
 
+def run_task(task, num_envs, steps, stride, seed):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("ISAACGYM_TPU_CACHE", "/tmp/isaacgym_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
     import isaacgym_tpu
@@ -82,11 +118,7 @@ def main(argv=None):
     step_xla = jax.jit(env_xla.step_fn)
 
     def d(a, b, keep):
-        """Max abs diff over envs where BOTH paths agree on reset: a done
-        flag flipping at an f32-noise margin teleports that env in one path
-        only — an amplification of kernel noise through the reset
-        discontinuity, not kernel error. Flipped envs are counted
-        separately (reset_flips)."""
+        """Max abs diff over envs in the ``keep`` mask."""
         diff = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
         keep = keep.reshape(keep.shape + (1,) * (diff.ndim - 1))
         return float(jnp.max(jnp.where(keep, diff, 0.0)))
@@ -98,11 +130,11 @@ def main(argv=None):
 
     # plain loop over the S samples (each call is the full B-env batch);
     # vmap over the pallas_call grid is deliberately avoided
-    diffs = {k: [] for k in ("dof_pos", "dof_vel", "root", "ncf", "obs", "reward")}
+    raw = {k: [] for k in GATED_FIELDS}       # reset-flip-excluded (legacy)
+    noflip = {k: [] for k in GATED_FIELDS}    # contact-flip-excluded (gated)
     reset_flips = 0
-    contact_flips = 0       # envs where a contact/event branch flipped at an
-    clean_root_max = 0.0    # f32 margin (one-step root delta > 0.1): discrete
-    for i in range(n_samples):  # amplification, reported separately
+    contact_flips = 0
+    for i in range(n_samples):
         s = jax.tree.map(lambda x: x[i], saved)
         a = acts[i]
         sf, of, rf, df_, _if = step_fused(s, a)
@@ -112,28 +144,85 @@ def main(argv=None):
         env_root = per_env_max(sf.sim.root, sx.sim.root, keep)
         flipped = env_root > 0.1
         contact_flips += int(jnp.sum(flipped))
-        clean_root_max = max(clean_root_max,
-                             float(jnp.max(jnp.where(flipped, 0.0, env_root))))
-        diffs["dof_pos"].append(d(sf.sim.dof_pos, sx.sim.dof_pos, keep))
-        diffs["dof_vel"].append(d(sf.sim.dof_vel, sx.sim.dof_vel, keep))
-        diffs["root"].append(d(sf.sim.root, sx.sim.root, keep))
-        diffs["ncf"].append(d(sf.sim.net_contact_force, sx.sim.net_contact_force, keep))
-        diffs["obs"].append(d(of, ox, keep))
-        diffs["reward"].append(d(rf, rx, keep))
-    diffs = {k: np.asarray(v) for k, v in diffs.items()}
-    # velocity-scale context for judging dof_vel deviations
+        clean = keep & ~flipped
+        pairs = dict(dof_pos=(sf.sim.dof_pos, sx.sim.dof_pos),
+                     dof_vel=(sf.sim.dof_vel, sx.sim.dof_vel),
+                     root=(sf.sim.root, sx.sim.root),
+                     ncf=(sf.sim.net_contact_force, sx.sim.net_contact_force),
+                     obs=(of, ox), reward=(rf, rx))
+        for k, (va, vb) in pairs.items():
+            raw[k].append(d(va, vb, keep))
+            noflip[k].append(d(va, vb, clean))
+
+    import numpy as np
     vel_scale = float(np.max(np.abs(np.asarray(saved.sim.dof_vel))))
+    compared = n_samples * num_envs
+    flip_rate = contact_flips / max(compared, 1)
     out = {"task": task, "num_envs": num_envs, "samples": n_samples,
            "dof_vel_scale": round(vel_scale, 3),
            "reset_flips": reset_flips,
            "contact_flips": contact_flips,
-           "max_root_no_flip": clean_root_max,
-           "env_steps_compared": n_samples * num_envs}
-    for k, v in diffs.items():
-        out[f"max_{k}"] = float(np.max(v))
-        out[f"mean_{k}"] = float(np.mean(v))
+           "flip_rate": round(flip_rate, 5),
+           "env_steps_compared": compared}
+    for k in GATED_FIELDS:
+        out[f"max_{k}"] = float(np.max(raw[k]))
+        out[f"max_{k}_no_flip"] = float(np.max(noflip[k]))
+        out[f"mean_{k}"] = float(np.mean(raw[k]))
+
+    gate = GATES.get(task)
+    if gate is not None:
+        failures = []
+        for k in GATED_FIELDS:
+            if out[f"max_{k}_no_flip"] > gate[f"max_{k}"]:
+                failures.append(f"{k}: {out[f'max_{k}_no_flip']:.3e} "
+                                f"> {gate[f'max_{k}']:.3e}")
+        if flip_rate > gate["max_flip_rate"]:
+            failures.append(f"flip_rate: {flip_rate:.4f} > {gate['max_flip_rate']}")
+        out["gate"] = "PASS" if not failures else "FAIL"
+        out["gate_failures"] = failures
     print(json.dumps(out))
     return out
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
+    run_all = "--all" in argv
+    if run_all:
+        argv.remove("--all")
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("ISAACGYM_TPU_CACHE", "/tmp/isaacgym_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    steps = int(argv[2]) if len(argv) > 2 else 160
+    stride = int(argv[3]) if len(argv) > 3 else 10
+    seed = int(argv[4]) if len(argv) > 4 else 0
+
+    results = []
+    if run_all:
+        for task, envs in DEFAULT_SIZES.items():
+            results.append(run_task(task, envs, steps, stride, seed))
+    else:
+        task = argv[0] if argv else "HumanoidPingpongTiltNESSparse27DOFG1"
+        num_envs = int(argv[1]) if len(argv) > 1 else DEFAULT_SIZES.get(task, 256)
+        results.append(run_task(task, num_envs, steps, stride, seed))
+
+    if out_path:
+        with open(out_path, "a") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+    failed = [r["task"] for r in results if r.get("gate") == "FAIL"]
+    if failed:
+        print(f"PARITY GATE FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)
+    return results
 
 
 if __name__ == "__main__":
