@@ -187,6 +187,22 @@ def _qrot_s(q, v):
                   _scross1(u, t))
 
 
+def _support_correct(g, gq_geom, n, dist, center, rbound):
+    """SceneSpec.exact_link_support: replace the bounding-sphere radius of a
+    CYLINDER/BOX link geom with its support extent along the contact normal
+    (face-contact exact). Returns the corrected (dist, point)."""
+    n_g = _qrot_s((-gq_geom[0], -gq_geom[1], -gq_geom[2], gq_geom[3]), n)
+    if int(g["kind"]) == U.GEOM_CYLINDER:
+        na = jnp.abs(n_g[2])
+        sup = (na * float(g["size"][1])
+               + jnp.sqrt(jnp.maximum(1.0 - na * na, 0.0)) * float(g["size"][0]))
+    else:
+        sup = (jnp.abs(n_g[0]) * float(g["size"][0])
+               + jnp.abs(n_g[1]) * float(g["size"][1])
+               + jnp.abs(n_g[2]) * float(g["size"][2]))
+    return dist + rbound - sup, _sub(center, _scale(n, sup))
+
+
 def _round_unit(c, tol=1e-7):
     """Snap build-time rotation coefficients to exact 0/±1 so axis-aligned
     constant rotations prune completely (float32 quats give 1-ulp dirt)."""
@@ -731,7 +747,8 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                         n_true_static: int = None,
                         max_depenetration: float = 10.0,
                         art_static: bool = True,
-                        with_torque: bool = False):
+                        with_torque: bool = False,
+                        exact_support: bool = False):
     """One Pallas kernel for the ENTIRE substep of a single-humanoid pingpong
     scene: PD -> dynamics -> integrate -> post FK -> ball gravity -> plane /
     static-box / articulated-geom impulse contacts (with joint-space
@@ -1286,7 +1303,14 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                         dist, n_local = _sphere_cyl_generic(
                             c_local, sg["size"][0], sg["size"][1], rbound)
                     n = _qrot_s(sgq, n_local)
-                    point = _sub(center, _scale(n, rbound))
+                    if (exact_support and
+                            int(g["kind"]) in (U.GEOM_CYLINDER, U.GEOM_BOX)):
+                        gqg = _qmul_s(fq2[link],
+                                      tuple(float(v) for v in g["off_quat"]))
+                        dist, point = _support_correct(g, gqg, n, dist,
+                                                       center, rbound)
+                    else:
+                        point = _sub(center, _scale(n, rbound))
                     Jcols = []
                     for i in range(nd):
                         if mask[link, i]:
@@ -1417,7 +1441,8 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                               rows_per_block: int = 8,
                               n_true_static: int = None,
                               max_depenetration: float = 10.0,
-                              art_static: bool = True):
+                              art_static: bool = True,
+                              exact_support: bool = False):
     """Fully-fused substep for K fixed-base revolute articulations and M free
     balls (the 4/5-actor scenes). Same physics as
     :func:`build_fused_substep`, generalized:
@@ -1976,7 +2001,14 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                         dist, n_local = _sphere_cyl_generic(
                             c_local, sg["size"][0], sg["size"][1], rbound)
                     n = _qrot_s(sgq, n_local)
-                    point = _sub(center, _scale(n, rbound))
+                    if (exact_support and
+                            int(g["kind"]) in (U.GEOM_CYLINDER, U.GEOM_BOX)):
+                        gqg = _qmul_s(fq2[link],
+                                      tuple(float(v) for v in g["off_quat"]))
+                        dist, point = _support_correct(g, gqg, n, dist,
+                                                       center, rbound)
+                    else:
+                        point = _sub(center, _scale(n, rbound))
                     Jcols = []
                     for i in range(nd_a):
                         if rt["mask"][link, i]:
@@ -2100,7 +2132,8 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                                  max_angular_velocity: float = 64.0,
                                  max_linear_velocity: float = 1000.0,
                                  rows_per_block: int = 8,
-                                 art_static: bool = True):
+                                 art_static: bool = True,
+                                 exact_support: bool = False):
     """ONE Pallas kernel for the ENTIRE substep of a floating-base humanoid
     pingpong scene (C10: 27-DOF whole-body G1, nv = 33): PD/effort drive ->
     floating-base forward dynamics (mass matrix over [omega, v, qdot] with the
@@ -2635,7 +2668,12 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                         dist, n_local = _sphere_cyl_generic(
                             c_local, sg["size"][0], sg["size"][1], rbound)
                     n = _qrot_s(sgq, n_local)
-                    point = _sub(center, _scale(n, rbound))
+                    if (exact_support and
+                            int(g["kind"]) in (U.GEOM_CYLINDER, U.GEOM_BOX)):
+                        dist, point = _support_correct(g, geom_quat[gi], n,
+                                                       dist, center, rbound)
+                    else:
+                        point = _sub(center, _scale(n, rbound))
                     cols = point_cols(int(g["link"]), point)
                     v_point = j_u(cols)
                     vn = _dot(v_point, n)

@@ -88,6 +88,16 @@ class SceneSpec:
     #: ~1 m arm reach). Enabling this routes the scene to the XLA contact
     #: path (the fused kernels do not implement link-link pairs).
     link_collision: bool = False
+    #: opt-in exact(er) link-vs-static narrowphase (round 4): cylinder/box
+    #: link geoms measure their distance to static geoms by the SUPPORT
+    #: FUNCTION along the contact normal instead of the bounding-sphere
+    #: radius — a horizontal paddle then skims half_thickness (~8 mm) above
+    #: the table instead of its 80 mm bounding radius (exact for the
+    #: face-dominated contacts the scenes exercise; normals still come from
+    #: the center-vs-geom closest-point test). Default off this round so the
+    #: in-flight flagship learning evidence stays on unchanged physics; both
+    #: the XLA path and the fused kernels honor the flag.
+    exact_link_support: bool = False
 
 
 @dataclass(frozen=True)

@@ -304,6 +304,7 @@ class Simulator:
                            max_depen=self.max_depenetration),
             bounce_threshold=self.bounce_threshold,
             drive_mode=slot.drive_mode,
+            exact_support=self.scene.spec.exact_link_support,
             max_angular_velocity=slot.max_angular_velocity,
             max_linear_velocity=slot.max_linear_velocity,
             art_static=_art_static_enabled())
@@ -441,7 +442,8 @@ class Simulator:
                 bounce_threshold=self.bounce_threshold,
                 n_true_static=n_true_static,
                 max_depenetration=self.max_depenetration,
-                art_static=_art_static_enabled(), with_torque=with_torque)
+                art_static=_art_static_enabled(), with_torque=with_torque,
+                exact_support=self.scene.spec.exact_link_support)
             self._fused_dr = PDK.build_fused_substep(
                 slot.model, init[0:3], init[3:7], slot.stiffness, slot.damping,
                 np.asarray(self.gravity), self.dt / self.substeps,
@@ -449,7 +451,8 @@ class Simulator:
                 bounce_threshold=self.bounce_threshold, with_dr=True,
                 n_true_static=n_true_static,
                 max_depenetration=self.max_depenetration,
-                art_static=_art_static_enabled(), with_torque=with_torque)
+                art_static=_art_static_enabled(), with_torque=with_torque,
+                exact_support=self.scene.spec.exact_link_support)
             self._fused_slot = slot
             self._fused_ball = ball
             return
@@ -480,7 +483,8 @@ class Simulator:
             bounce_threshold=self.bounce_threshold,
             n_true_static=n_true_static,
             max_depenetration=self.max_depenetration,
-            art_static=_art_static_enabled())
+            art_static=_art_static_enabled(),
+            exact_support=self.scene.spec.exact_link_support)
         self._fused_ball_actors = np.asarray(
             [fb.actor_index for fb in scene.free_bodies])
         self._fused_ball_bodies = np.asarray(
@@ -1170,6 +1174,31 @@ class Simulator:
         dist = frame.dist.reshape(k * s)
         n = frame.normal.reshape(k * s, 3)
         points = frame.point.reshape(k * s, 3)
+        if (self.scene.spec.exact_link_support
+                and grp.kind in (U.GEOM_CYLINDER, U.GEOM_BOX)):
+            # SceneSpec.exact_link_support: replace the bounding-sphere
+            # radius with the geom's support extent along the per-pair
+            # contact normal (exact for face-dominated contacts)
+            gq_geom = rot.quat_mul(bq, jnp.asarray(grp.offset_quat))  # (k,4)
+            n_k = n.reshape(k, s, 3)
+            if grp.kind == U.GEOM_CYLINDER:
+                axis = rot.quat_rotate(gq_geom, jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1.0]), (k, 3)))            # (k,3)
+                na = jnp.abs(jnp.einsum("ksa,ka->ks", n_k, axis))
+                sup = (na * jnp.asarray(grp.size)[:, 1:2]
+                       + jnp.sqrt(jnp.maximum(1.0 - na * na, 0.0))
+                       * jnp.asarray(grp.size)[:, 0:1])               # (k,s)
+            else:
+                axes = jnp.stack([rot.quat_rotate(gq_geom, jnp.broadcast_to(
+                    jnp.asarray(e), (k, 3))) for e in
+                    ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))],
+                    axis=1)                                           # (k,3ax,3)
+                sup = sum(jnp.abs(jnp.einsum("ksa,ka->ks", n_k, axes[:, i]))
+                          * jnp.asarray(grp.size)[:, i:i + 1] for i in range(3))
+            sup = sup.reshape(k * s)
+            dist = dist + jnp.repeat(radii, s) - sup
+            points = (jnp.repeat(centers, s, axis=0)
+                      - n * sup[:, None])
         links = np.repeat(np.asarray(grp.link), s)
 
         J = D.point_jacobians(model, rt["frames"], rt["base_pos"], links, points)

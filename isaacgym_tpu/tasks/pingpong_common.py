@@ -99,6 +99,8 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
         actors=actors,
         link_collision=bool(sc.get("linkCollision",
                                    env_cfg.get("linkCollision", False))),
+        exact_link_support=bool(sc.get("exactLinkSupport",
+                                       env_cfg.get("exactLinkSupport", False))),
         terrain=terrain,
         plane=PlaneParams(
             static_friction=plane_cfg.get("staticFriction", 1.0),
