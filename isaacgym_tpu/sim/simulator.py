@@ -67,6 +67,8 @@ class _GeomGroup(NamedTuple):
     body_off_pos: np.ndarray  # (k,3) body-frame origin rel. the link dof frame
                               # (tree.body_ref_pos; zeros for statics) — the
                               # reference point for force-sensor torque
+    kinds: Optional[np.ndarray] = None  # (k,) per-geom kind for MIXED groups
+                              # (kind == -1); None for single-kind groups
 
 
 def _integrate_quat(quat, omega, dt):
@@ -179,6 +181,7 @@ class Simulator:
         # articulation geoms grouped by (articulation, kind); offsets folded
         # through the welded body_ref transform at compile time
         self.art_groups: Dict[int, List[_GeomGroup]] = {}
+        self.art_ground_groups: Dict[int, _GeomGroup] = {}
         per_art: Dict[int, Dict[int, List]] = {}
         for g in scene.art_geoms:
             per_art.setdefault(g.art_index, {}).setdefault(g.kind, []).append(g)
@@ -206,6 +209,37 @@ class Simulator:
                         [tree.body_ref_pos[g.body_index] for g in gs]).astype(np.float32),
                 ))
             self.art_groups[art_idx] = groups
+            # ground contacts are kind-independent (bounding spheres), so a
+            # single SCENE-ORDER group per articulation keeps the XLA path's
+            # sequential Gauss-Seidel order identical to the fused kernels'
+            # flat art_geoms walk (kind-grouped iteration resolved the same
+            # contacts in a different order -> systematic fused-vs-XLA
+            # activation flips in many-contact ragdoll states)
+            gs_all = [g for g in scene.art_geoms if g.art_index == art_idx]
+            offs_all = [_compose(tree.body_ref_pos[g.body_index],
+                                 tree.body_ref_quat[g.body_index],
+                                 g.local_pos, g.local_quat) for g in gs_all]
+            self.art_ground_groups[art_idx] = _GeomGroup(
+                kind=-1,
+                actor_index=np.asarray([slot.actor_index] * len(gs_all)),
+                link=np.asarray([int(tree.body_ref_dof[g.body_index])
+                                 for g in gs_all]),
+                body=np.asarray([slot.body_start + g.body_index
+                                 for g in gs_all]),
+                offset_pos=np.stack([o[0] for o in offs_all]),
+                offset_quat=np.stack([o[1] for o in offs_all]),
+                size=np.stack([g.size for g in gs_all]).astype(np.float32),
+                restitution=np.asarray([g.restitution for g in gs_all],
+                                       np.float32),
+                friction=np.asarray([g.friction for g in gs_all], np.float32),
+                radius_bound=np.asarray(
+                    [float(g.size[0]) if g.kind == U.GEOM_SPHERE
+                     else float(np.max(g.size)) for g in gs_all], np.float32),
+                body_off_pos=np.stack(
+                    [tree.body_ref_pos[g.body_index]
+                     for g in gs_all]).astype(np.float32),
+                kinds=np.asarray([g.kind for g in gs_all]),
+            )
 
     def _maybe_build_pallas(self, force: bool = False) -> None:
         """Build fused Pallas articulation kernels when the scene qualifies:
@@ -965,18 +999,18 @@ class Simulator:
         # (PhysX full-pair narrowphase implied by the reference scenes,
         # humanoid_pingpong_3_actor_all_dof.py:470-640) ------------------------
         if _art_static_enabled():
-            for art_idx, groups in self.art_groups.items():
+            # scene-order concatenated group per articulation: sequential
+            # resolution order identical to the fused kernels' art_geoms walk
+            for art_idx, grp in self.art_ground_groups.items():
                 rt = art_runtime[art_idx]
-                own_actor = rt["slot"].actor_index
-                for grp in groups:
-                    for sgrp in self.static_groups:
-                        du, P_sum, tq_sum = self._art_vs_static_group(
-                            rt, grp, sgrp, root, dt_s)
-                        rt["u"] = rt["u"] + du
-                        ncf = ncf.at[jnp.asarray(grp.body)].add(
-                            P_sum / self.dt)
-                        nct = nct.at[jnp.asarray(grp.body)].add(
-                            tq_sum / self.dt)
+                for sgrp in self.static_groups:
+                    du, P_sum, tq_sum = self._art_vs_static_group(
+                        rt, grp, sgrp, root, dt_s)
+                    rt["u"] = rt["u"] + du
+                    ncf = ncf.at[jnp.asarray(grp.body)].add(
+                        P_sum / self.dt)
+                    nct = nct.at[jnp.asarray(grp.body)].add(
+                        tq_sum / self.dt)
 
         # -- articulation links vs articulation links (opt-in narrowphase,
         # SceneSpec.link_collision: self-collision + cross-articulation link
@@ -987,13 +1021,14 @@ class Simulator:
                                              dt_s)
 
         # -- floating articulations vs ground (feet etc.) ----------------------
+        # ONE scene-order group per articulation: the same sequential
+        # resolution order as the fused kernels (see _build_geom_groups)
         if scene.spec.plane is not None:
-            for art_idx, groups in self.art_groups.items():
+            for art_idx, grp in self.art_ground_groups.items():
                 rt = art_runtime[art_idx]
                 if not rt["slot"].model.floating:
                     continue
-                for grp in groups:
-                    rt["u"] = rt["u"] + self._art_vs_ground_group(rt, grp, dt_s)
+                rt["u"] = rt["u"] + self._art_vs_ground_group(rt, grp, dt_s)
 
         # -- write back articulation state -------------------------------------
         for rt in art_runtime:
@@ -1174,27 +1209,33 @@ class Simulator:
         dist = frame.dist.reshape(k * s)
         n = frame.normal.reshape(k * s, 3)
         points = frame.point.reshape(k * s, 3)
+        kinds = (grp.kinds if grp.kinds is not None
+                 else np.full(k, grp.kind))
         if (self.scene.spec.exact_link_support
-                and grp.kind in (U.GEOM_CYLINDER, U.GEOM_BOX)):
+                and np.any(np.isin(kinds, (U.GEOM_CYLINDER, U.GEOM_BOX)))):
             # SceneSpec.exact_link_support: replace the bounding-sphere
             # radius with the geom's support extent along the per-pair
-            # contact normal (exact for face-dominated contacts)
+            # contact normal (exact for face-dominated contacts); sphere
+            # geoms in a mixed group keep their radius (support of a sphere
+            # is its radius in every direction)
             gq_geom = rot.quat_mul(bq, jnp.asarray(grp.offset_quat))  # (k,4)
             n_k = n.reshape(k, s, 3)
-            if grp.kind == U.GEOM_CYLINDER:
-                axis = rot.quat_rotate(gq_geom, jnp.broadcast_to(
-                    jnp.asarray([0.0, 0.0, 1.0]), (k, 3)))            # (k,3)
-                na = jnp.abs(jnp.einsum("ksa,ka->ks", n_k, axis))
-                sup = (na * jnp.asarray(grp.size)[:, 1:2]
+            axis = rot.quat_rotate(gq_geom, jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0]), (k, 3)))                # (k,3)
+            na = jnp.abs(jnp.einsum("ksa,ka->ks", n_k, axis))
+            sup_cyl = (na * jnp.asarray(grp.size)[:, 1:2]
                        + jnp.sqrt(jnp.maximum(1.0 - na * na, 0.0))
                        * jnp.asarray(grp.size)[:, 0:1])               # (k,s)
-            else:
-                axes = jnp.stack([rot.quat_rotate(gq_geom, jnp.broadcast_to(
-                    jnp.asarray(e), (k, 3))) for e in
-                    ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))],
-                    axis=1)                                           # (k,3ax,3)
-                sup = sum(jnp.abs(jnp.einsum("ksa,ka->ks", n_k, axes[:, i]))
+            axes = jnp.stack([rot.quat_rotate(gq_geom, jnp.broadcast_to(
+                jnp.asarray(e), (k, 3))) for e in
+                ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))],
+                axis=1)                                               # (k,3ax,3)
+            sup_box = sum(jnp.abs(jnp.einsum("ksa,ka->ks", n_k, axes[:, i]))
                           * jnp.asarray(grp.size)[:, i:i + 1] for i in range(3))
+            sup = jnp.where(jnp.asarray(kinds == U.GEOM_CYLINDER)[:, None],
+                            sup_cyl,
+                            jnp.where(jnp.asarray(kinds == U.GEOM_BOX)[:, None],
+                                      sup_box, radii[:, None]))
             sup = sup.reshape(k * s)
             dist = dist + jnp.repeat(radii, s) - sup
             points = (jnp.repeat(centers, s, axis=0)
