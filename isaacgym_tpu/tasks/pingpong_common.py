@@ -97,10 +97,19 @@ def build_pingpong_scene(env_cfg, sim_cfg, *, humanoids=1, floating_base=False) 
         )
     return SceneSpec(
         actors=actors,
+        # linkCollision stays opt-in: PhysX default collision filtering
+        # disables self-collision within an articulation unless the asset
+        # asks for it (the reference never does), so OFF is parity.
         link_collision=bool(sc.get("linkCollision",
                                    env_cfg.get("linkCollision", False))),
+        # exactLinkSupport defaults ON (round 5): PhysX runs exact convex
+        # narrowphase unconditionally (gym.simulate,
+        # /root/reference/tasks/joint_monkey2_new.py:626), so bounding-sphere
+        # link-vs-static contact was a fidelity gap — the paddle contacted
+        # the table through an 80 mm sphere. Opt out per task with
+        # scene.exactLinkSupport: false.
         exact_link_support=bool(sc.get("exactLinkSupport",
-                                       env_cfg.get("exactLinkSupport", False))),
+                                       env_cfg.get("exactLinkSupport", True))),
         terrain=terrain,
         plane=PlaneParams(
             static_friction=plane_cfg.get("staticFriction", 1.0),

@@ -177,7 +177,7 @@ def test_c8_cross_pairs_pruned_out_of_reach():
     from isaacgym_tpu.utils.config import load_task_config
     from isaacgym_tpu.tasks.pingpong_common import build_pingpong_scene
     cfg = load_task_config("Humanoid12PingpongTiltG1")
-    cfg["env"]["linkCollision"] = True
+    cfg["env"]["scene"]["linkCollision"] = True
     spec = build_pingpong_scene(cfg["env"], cfg["sim"], humanoids=2)
     assert spec.link_collision
     sim = Simulator(compile_scene(spec))
