@@ -187,6 +187,18 @@ def _qrot_s(q, v):
                   _scross1(u, t))
 
 
+RESTING_SMOOTH_BAND = 0.002  # m; must equal simulator._resting_smooth's band
+
+
+def _rest_smooth(dist, vn, bounce_threshold):
+    """Resting-contact activation smoothing — the in-kernel mirror of
+    ``simulator._resting_smooth`` (same band, same |vn| cut; see its
+    docstring for the rationale). Scales Pn AND Pt so the friction cone is
+    preserved."""
+    s = jnp.clip(-dist / RESTING_SMOOTH_BAND, 0.0, 1.0)
+    return jnp.where(jnp.abs(vn) > bounce_threshold, 1.0, s)
+
+
 def _support_correct(g, gq_geom, n, dist, center, rbound):
     """SceneSpec.exact_link_support: replace the bounding-sphere radius of a
     CYLINDER/BOX link geom with its support extent along the contact normal
@@ -729,13 +741,14 @@ class FusedStepOutputs(NamedTuple):
     ball_omega: jnp.ndarray  # (B, 3) spin after friction coupling
     impulses: jnp.ndarray    # (B, ng+1, 3) — or (B, 2*ng+2, 3) when built
                              # with_torque: per-art-geom impulse on the geom
-                             # body (rows 0..ng-1), total ball impulse from
-                             # plane/static contacts (row ng), then per-art-
-                             # geom contact MOMENT about the geom body's
-                             # frame origin (rows ng+1..2ng) and the ball's
-                             # contact-moment sum about its center from ALL
-                             # contacts (row 2ng+1) — force-sensor wrench
-                             # lanes (impulse units; divide by dt)
+                             # body (rows 0..ng-1; ball reaction PLUS its
+                             # art-vs-static contributions, matching the XLA
+                             # ncf attribution), TOTAL ball impulse from all
+                             # contacts (row ng), then per-art-geom contact
+                             # MOMENT about the geom body's frame origin
+                             # (rows ng+1..2ng) and the ball's contact-moment
+                             # sum about its center (row 2ng+1) — force-
+                             # sensor wrench lanes (impulse units; / dt)
 
 
 def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
@@ -1163,9 +1176,11 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             imp_z = imp_z + dv[2] / inv_mb
             if with_torque:
                 tqb = _svadd(tqb, _sscale(_scross1(n, dv), -rb_ / inv_mb))
-        imp_ref[ng * 3 + 0] = imp_x
-        imp_ref[ng * 3 + 1] = imp_y
-        imp_ref[ng * 3 + 2] = imp_z
+        # per-geom-body impulse/torque accumulators: ball-contact reaction
+        # plus (below) the art-vs-static contributions — written to imp_ref
+        # at the end so the rows match the XLA path's ncf/nct attribution
+        geom_imp = [[zero, zero, zero] for _ in range(ng)]
+        geom_tq = [[zero, zero, zero] for _ in range(ng)] if with_torque else None
 
         # articulated geoms with joint-space reactions
         for gi, g in enumerate(art_geoms):
@@ -1260,26 +1275,26 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
             for i in range(nd):
                 u[i] = u[i] + du[i]
             pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-d_now, 0.0), 0.0)))
-            imp_ref[gi * 3 + 0] = -P[0]
-            imp_ref[gi * 3 + 1] = -P[1]
-            imp_ref[gi * 3 + 2] = -P[2]
+            # ball total-impulse row includes the art reactions (row ng is
+            # the FULL ball impulse; the geom rows stay per-body)
+            imp_x = imp_x + P[0]
+            imp_y = imp_y + P[1]
+            imp_z = imp_z + P[2]
+            geom_imp[gi] = [-P[0], -P[1], -P[2]]
             if with_torque:
                 # contact moments: ball about its center (lever -r n_now),
                 # geom body about its frame origin (lever cp - body origin)
                 tqb = _svadd(tqb, _sscale(_scross1(n_now, P), -rb_))
                 borg = _svadd(fp2[link], _qrot_s(
                     fq2[link], tuple(float(v) for v in g["body_off"])))
-                tq_g = _scross1(_svsub(cp, borg), _sscale(P, -1.0))
-                imp_ref[(ng + 1 + gi) * 3 + 0] = tq_g[0]
-                imp_ref[(ng + 1 + gi) * 3 + 1] = tq_g[1]
-                imp_ref[(ng + 1 + gi) * 3 + 2] = tq_g[2]
+                geom_tq[gi] = list(_scross1(_svsub(cp, borg), _sscale(P, -1.0)))
 
         # articulation links vs TRUE static geoms (table slab, net) —
         # Baumgarte-stabilized impulses on the generalized velocity, the
         # in-kernel mirror of simulator._art_vs_static_group (the paddle/arm
         # is stopped by the table, PhysX full-pair narrowphase parity)
         if art_static:
-            for g in art_geoms:
+            for gi_s, g in enumerate(art_geoms):
                 link = int(g["link"])
                 rbound = float(g["radius_bound"])
                 op = tuple(float(v) for v in g["off_pos"])
@@ -1347,13 +1362,37 @@ def build_fused_substep(model: ArticulationModel, base_pos, base_quat,
                     Pt = jnp.where(active,
                                    jnp.minimum(mu_as * Pn,
                                                vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+                    s_r = _rest_smooth(dist, vn, bounce_threshold)
+                    Pn = Pn * s_r
+                    Pt = Pt * s_r
                     du = back_sub([yn[i] * Pn - yt[i] * Pt for i in range(nd)])
                     for i in range(nd):
                         u[i] = u[i] + du[i]
+                    # record into the geom body's ncf/wrench rows — the XLA
+                    # path adds art-static P/tq at the geom bodies
+                    # (simulator._art_vs_static_group caller)
+                    P_as = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+                    for i3 in range(3):
+                        geom_imp[gi_s][i3] = geom_imp[gi_s][i3] + P_as[i3]
+                    if with_torque:
+                        borg = _svadd(fp2[link], _qrot_s(
+                            fq2[link], tuple(float(v) for v in g["body_off"])))
+                        tq_as = _scross1(_svsub(point, borg), P_as)
+                        for i3 in range(3):
+                            geom_tq[gi_s][i3] = geom_tq[gi_s][i3] + tq_as[i3]
 
         for d in range(nd):
             qdn_ref[d] = u[d]
+        imp_ref[ng * 3 + 0] = imp_x
+        imp_ref[ng * 3 + 1] = imp_y
+        imp_ref[ng * 3 + 2] = imp_z
+        for gi in range(ng):
+            for i3 in range(3):
+                imp_ref[gi * 3 + i3] = geom_imp[gi][i3]
         if with_torque:
+            for gi in range(ng):
+                for i3 in range(3):
+                    imp_ref[(ng + 1 + gi) * 3 + i3] = geom_tq[gi][i3]
             imp_ref[(2 * ng + 1) * 3 + 0] = tqb[0]
             imp_ref[(2 * ng + 1) * 3 + 1] = tqb[1]
             imp_ref[(2 * ng + 1) * 3 + 2] = tqb[2]
@@ -1442,6 +1481,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                               n_true_static: int = None,
                               max_depenetration: float = 10.0,
                               art_static: bool = True,
+                              with_torque: bool = False,
                               exact_support: bool = False):
     """Fully-fused substep for K fixed-base revolute articulations and M free
     balls (the 4/5-actor scenes). Same physics as
@@ -1456,10 +1496,14 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
         ball channels are pos0,vel0,pos1,vel1,...
       * ``art_geoms`` entries carry an ``art`` index; every ball tests every
         geom. Impulse outputs: ng rows (impulse on each geom body, summed
-        over balls) + NB rows (each ball's plane/static impulse total) + NB
-        rows (each ball's total reaction from articulated-geom contacts) —
-        the last block makes per-ball net-contact-force attribution exact
-        in multi-ball scenes.
+        over balls, incl. the geom's art-vs-static contributions) + NB rows
+        (each ball's plane/static impulse total) + NB rows (each ball's
+        total reaction from articulated-geom contacts) — the last block
+        makes per-ball net-contact-force attribution exact in multi-ball
+        scenes. ``with_torque`` appends ng geom contact-moment rows (about
+        each geom body's frame origin) + NB ball contact-moment rows (about
+        each ball's center) — the force-sensor wrench lanes
+        (create_asset_force_sensor capability, SURVEY.md §2 N2).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1669,8 +1713,9 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                                fwd_sub=fwd_sub, back_sub=back_sub,
                                mask=c["mask"], rev=c["rev"], nd=nd, off=o))
 
-        # zero the geom impulse accumulators
+        # zero the geom impulse (and wrench-torque) accumulators
         geom_imp = [[zero, zero, zero] for _ in range(ng)]
+        geom_tq = [[zero, zero, zero] for _ in range(ng)] if with_torque else None
 
         def sphere_box_local(c_local, half, rad):
             cl = [jnp.clip(c_local[i], -float(half[i]), float(half[i])) for i in range(3)]
@@ -1786,6 +1831,10 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 (zero, zero, zero + 1.0), e, mu, dist_now=d0p)
             pos = _add(pos, push)
             s_imp = list(_scale(dv, 1.0 / inv_mb))
+            # ball contact-moment accumulator (about the ball center; sphere
+            # lever = -r n) — wrench lanes, built only with_torque
+            b_tq = (list(_sscale(_scross1((0.0, 0.0, 1.0), dv), -rb_ / inv_mb))
+                    if with_torque else None)
 
             for g in static_geoms:
                 gp = tuple(float(v) for v in g["pos"])
@@ -1814,6 +1863,10 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 pos = _add(pos, push)
                 for i3 in range(3):
                     s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
+                if with_torque:
+                    tq_c = _sscale(_scross1(n, dv), -rb_ / inv_mb)
+                    for i3 in range(3):
+                        b_tq[i3] = b_tq[i3] + tq_c[i3]
             b_art = [zero, zero, zero]  # Σ reactions this ball receives
 
             for gi, g in enumerate(art_geoms):
@@ -1895,11 +1948,23 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 for i3 in range(3):
                     geom_imp[gi][i3] = geom_imp[gi][i3] - P[i3]
                     b_art[i3] = b_art[i3] + P[i3]
+                if with_torque:
+                    # ball about its center (lever -r n_now); geom body about
+                    # its frame origin (lever cp - body origin) — matches the
+                    # XLA _ball_vs_art_group torque attribution
+                    tq_c = _sscale(_scross1(n_now, P), -rb_)
+                    borg = _svadd(fp2[link], _qrot_s(
+                        fq2[link], tuple(float(v) for v in g["body_off"])))
+                    tq_g = _scross1(_svsub(cp, borg), _sscale(P, -1.0))
+                    for i3 in range(3):
+                        b_tq[i3] = b_tq[i3] + tq_c[i3]
+                        geom_tq[gi][i3] = geom_tq[gi][i3] + tq_g[i3]
 
             for i3 in range(3):
                 imp_ref[(ng + NB + bi) * 3 + i3] = b_art[i3]
             ball_rt.append(dict(pos=pos, vel=vel, omg=omg, s_imp=s_imp,
-                                rb=rb_, inv_m=inv_mb, kap=kap, bc=bc))
+                                b_tq=b_tq, rb=rb_, inv_m=inv_mb, kap=kap,
+                                bc=bc))
 
         # -- ball-ball contacts (C11: two balls in one env; matches the XLA
         # path's pairwise dynamic sphere-sphere impulse incl. spin) ---------
@@ -1946,12 +2011,21 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                 for i3 in range(3):
                     A["s_imp"][i3] = A["s_imp"][i3] + P[i3]
                     Bb["s_imp"][i3] = Bb["s_imp"][i3] - P[i3]
+                if with_torque:
+                    # moments about each ball's center (contact at -+r n);
+                    # both get -r_i (n x P) — see the XLA ball-ball block
+                    nxP = _scross1(n, P)
+                    for i3 in range(3):
+                        A["b_tq"][i3] = A["b_tq"][i3] - A["rb"] * nxP[i3]
+                        Bb["b_tq"][i3] = Bb["b_tq"][i3] - Bb["rb"] * nxP[i3]
 
         # -- clamp + integrate + write back ---------------------------------
         for bi, (bc, rt_b) in enumerate(zip(balls, ball_rt)):
             pos, vel, omg = rt_b["pos"], rt_b["vel"], rt_b["omg"]
             for i3 in range(3):
                 imp_ref[(ng + bi) * 3 + i3] = rt_b["s_imp"][i3]
+                if with_torque:
+                    imp_ref[(2 * ng + 2 * NB + bi) * 3 + i3] = rt_b["b_tq"][i3]
             # ball AssetOptions.max_linear_velocity — PhysX caps the MAGNITUDE
             ml_b = float(bc.get("max_lin", 1000.0))
             vel = _scale(vel, jnp.minimum(
@@ -1972,7 +2046,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
         # articulation links vs TRUE static geoms (table slab, net) —
         # mirrors simulator._art_vs_static_group (see build_fused_substep)
         if art_static:
-            for g in art_geoms:
+            for gi_s, g in enumerate(art_geoms):
                 rt = art_rt[int(g["art"])]
                 link = int(g["link"])
                 rbound = float(g["radius_bound"])
@@ -2045,14 +2119,32 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
                     Pt = jnp.where(active,
                                    jnp.minimum(mu_as * Pn,
                                                vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+                    s_r = _rest_smooth(dist, vn, bounce_threshold)
+                    Pn = Pn * s_r
+                    Pt = Pt * s_r
                     du = rt["back_sub"]([yn[i] * Pn - yt[i] * Pt
                                          for i in range(nd_a)])
                     for i in range(nd_a):
                         rt["u"][i] = rt["u"][i] + du[i]
+                    # record at the geom body (the XLA path adds art-static
+                    # P/tq to ncf/nct at grp.body)
+                    P_as = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+                    for i3 in range(3):
+                        geom_imp[gi_s][i3] = geom_imp[gi_s][i3] + P_as[i3]
+                    if with_torque:
+                        borg = _svadd(fp2[link], _qrot_s(
+                            fq2[link], tuple(float(v) for v in g["body_off"])))
+                        tq_as = _scross1(_svsub(point, borg), P_as)
+                        for i3 in range(3):
+                            geom_tq[gi_s][i3] = geom_tq[gi_s][i3] + tq_as[i3]
 
         for gi in range(ng):
             for i3 in range(3):
                 imp_ref[gi * 3 + i3] = geom_imp[gi][i3]
+        if with_torque:
+            for gi in range(ng):
+                for i3 in range(3):
+                    imp_ref[(ng + 2 * NB + gi) * 3 + i3] = geom_tq[gi][i3]
         for ai, rt in enumerate(art_rt):
             for d in range(rt["nd"]):
                 qdn_ref[rt["off"] + d] = rt["u"][d]
@@ -2060,7 +2152,9 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
     def run(q, qd, targets, efforts, ball_pos, ball_vel, ball_omega):
         """ball_pos/ball_vel/ball_omega: (B, NB, 3). Returns FusedStepOutputs
         with ball arrays shaped (B, NB, 3) and impulses (B, ng+2·NB, 3):
-        [geom rows | per-ball static/plane rows | per-ball art-reaction rows]."""
+        [geom rows | per-ball static/plane rows | per-ball art-reaction
+        rows]; with_torque appends [geom moment rows (ng) | per-ball moment
+        rows (NB)] -> (B, 2·ng+3·NB, 3)."""
         B = q.shape[0]
         assert B % LANE == 0
         R = B // LANE
@@ -2074,7 +2168,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
         grid = (R // rb,)
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
-        nimp = (ng + 2 * NB) * 3
+        nimp = (2 * ng + 3 * NB) * 3 if with_torque else (ng + 2 * NB) * 3
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -2099,7 +2193,7 @@ def build_fused_substep_multi(arts: list, balls: list, static_geoms: list,
             ball_pos=from_chan(outs[3], 3 * NB).reshape(B, NB, 3),
             ball_vel=from_chan(outs[4], 3 * NB).reshape(B, NB, 3),
             ball_omega=from_chan(outs[5], 3 * NB).reshape(B, NB, 3),
-            impulses=from_chan(outs[6], nimp).reshape(B, ng + 2 * NB, 3),
+            impulses=from_chan(outs[6], nimp).reshape(B, nimp // 3, 3),
         )
 
     return jax.jit(run)
@@ -2120,7 +2214,12 @@ class FloatingStepOutputs(NamedTuple):
     ball_pos: jnp.ndarray    # (B, 3)
     ball_vel: jnp.ndarray    # (B, 3)
     ball_omega: jnp.ndarray  # (B, 3) spin after friction coupling
-    impulses: jnp.ndarray    # (B, ng+1, 3) geom rows + ball static/plane row
+    impulses: jnp.ndarray    # (B, ng+1, 3): per-geom-body impulse rows (ball
+                             # reaction + art-vs-static) + TOTAL ball impulse
+                             # row; with_torque -> (B, 2*ng+2, 3), appending
+                             # per-geom contact-moment rows (about the geom
+                             # body's frame origin) + the ball's moment row
+                             # (about its center) — wrench lanes, / dt
 
 
 def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
@@ -2133,6 +2232,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                                  max_linear_velocity: float = 1000.0,
                                  rows_per_block: int = 8,
                                  art_static: bool = True,
+                                 with_torque: bool = False,
                                  exact_support: bool = False):
     """ONE Pallas kernel for the ENTIRE substep of a floating-base humanoid
     pingpong scene (C10: 27-DOF whole-body G1, nv = 33): PD/effort drive ->
@@ -2549,6 +2649,19 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             (zero, zero, zero + 1.0), e, mu, dist_now=d0p)
         pos = _add(pos, push)
         s_imp = list(_scale(dv, 1.0 / inv_mb))
+        # wrench accumulators (with_torque only): ball moment about its
+        # center; per-geom impulse/moment rows (written at the end so the
+        # art-vs-static contributions land in the same rows as on XLA)
+        b_tq = (list(_sscale(_scross1((0.0, 0.0, 1.0), dv), -rb_ / inv_mb))
+                if with_torque else None)
+        geom_imp = [[zero, zero, zero] for _ in range(ng)]
+        geom_tq = [[zero, zero, zero] for _ in range(ng)] if with_torque else None
+
+        def borg_of(g, gi):
+            link = int(g["link"])
+            li = nd if link < 0 else link
+            return _svadd(org2[li], _qrot_s(
+                orient2[li], tuple(float(v) for v in g["body_off"])))
 
         for g in static_geoms:
             gp = tuple(float(v) for v in g["pos"])
@@ -2577,8 +2690,10 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             pos = _add(pos, push)
             for i3 in range(3):
                 s_imp[i3] = s_imp[i3] + dv[i3] / inv_mb
-        for i3 in range(3):
-            imp_ref[ng * 3 + i3] = s_imp[i3]
+            if with_torque:
+                tq_c = _sscale(_scross1(n, dv), -rb_ / inv_mb)
+                for i3 in range(3):
+                    b_tq[i3] = b_tq[i3] + tq_c[i3]
 
         # articulated geoms with FULL-BODY joint-space reactions
         for gi, g in enumerate(art_geoms):
@@ -2640,9 +2755,16 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             for c in range(nv):
                 u[c] = _sad2(u[c], du[c])
             pos = _add(pos, _scale(n, jnp.where(active, jnp.maximum(-d_now, 0.0), 0.0)))
-            imp_ref[gi * 3 + 0] = -P[0]
-            imp_ref[gi * 3 + 1] = -P[1]
-            imp_ref[gi * 3 + 2] = -P[2]
+            # row ng is the ball's TOTAL impulse (incl. art reactions)
+            for i3 in range(3):
+                s_imp[i3] = s_imp[i3] + P[i3]
+            geom_imp[gi] = [-P[0], -P[1], -P[2]]
+            if with_torque:
+                tq_c = _sscale(_scross1(n_now, P), -rb_)
+                tq_g = _scross1(_svsub(cp, borg_of(g, gi)), _sscale(P, -1.0))
+                for i3 in range(3):
+                    b_tq[i3] = b_tq[i3] + tq_c[i3]
+                    geom_tq[gi][i3] = geom_tq[gi][i3] + tq_g[i3]
 
         # -------- articulation links vs static geoms (table slab, net):
         # a fallen floating-base humanoid rests ON the table; mirrors
@@ -2696,10 +2818,23 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
                     Pt = jnp.where(active,
                                    jnp.minimum(mu_as * Pn,
                                                vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+                    s_r = _rest_smooth(dist, vn, bounce_threshold)
+                    Pn = Pn * s_r
+                    Pt = Pt * s_r
                     du = back_sub([_sad2(_sml(yn[i], Pn), _sml(yt[i], -Pt))
                                    for i in range(nv)])
                     for c in range(nv):
                         u[c] = _sad2(u[c], du[c])
+                    # record at the geom body (XLA adds art-static P/tq to
+                    # ncf/nct at grp.body; ground contacts stay unrecorded
+                    # on both paths)
+                    P_as = _sub(_scale(n, Pn), _scale(t_hat, Pt))
+                    for i3 in range(3):
+                        geom_imp[gi][i3] = geom_imp[gi][i3] + P_as[i3]
+                    if with_torque:
+                        tq_as = _scross1(_svsub(point, borg_of(g, gi)), P_as)
+                        for i3 in range(3):
+                            geom_tq[gi][i3] = geom_tq[gi][i3] + tq_as[i3]
 
         # ---------------- articulation vs ground (feet) --------------------
         for gi, g in enumerate(art_geoms):
@@ -2727,12 +2862,26 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             w_t = sum(v_ * v_ for v_ in yt if not _isz(v_))
             Pt = jnp.where(active,
                            jnp.minimum(mu_gnd * Pn, vt_n / jnp.maximum(w_t, 1e-9)), 0.0)
+            s_r = _rest_smooth(dist, vn, bounce_threshold)
+            Pn = Pn * s_r
+            Pt = Pt * s_r
             du = back_sub([_sad2(_sml(yn[i], Pn), _sml(yt[i], -Pt))
                            for i in range(nv)])
             for c in range(nv):
                 u[c] = _sad2(u[c], du[c])
 
         # ---------------- writeback ---------------------------------------
+        for i3 in range(3):
+            imp_ref[ng * 3 + i3] = s_imp[i3]
+        for gi in range(ng):
+            for i3 in range(3):
+                imp_ref[gi * 3 + i3] = geom_imp[gi][i3]
+        if with_torque:
+            for gi in range(ng):
+                for i3 in range(3):
+                    imp_ref[(ng + 1 + gi) * 3 + i3] = geom_tq[gi][i3]
+            for i3 in range(3):
+                imp_ref[(2 * ng + 1) * 3 + i3] = b_tq[i3]
         for d in range(nd):
             qdn_ref[d] = u[6 + d]
         for i in range(3):
@@ -2768,7 +2917,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
         grid = (R // rb,)
         chan = lambda n: pl.BlockSpec((n, rb, LANE), lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
-        nimp = ng * 3 + 3
+        nimp = (2 * ng + 2) * 3 if with_torque else ng * 3 + 3
         in_ns = [nd, nd, nd, nd, 3, 4, 3, 3, 3, 3, 3]
         out_ns = [nd, nd, nd, 3, 4, 3, 3, 3, 3, 3, nimp]
         outs = pl.pallas_call(
@@ -2798,7 +2947,7 @@ def build_fused_substep_floating(model: ArticulationModel, kp, kd, gravity,
             ball_pos=from_chan(outs[7], 3),
             ball_vel=from_chan(outs[8], 3),
             ball_omega=from_chan(outs[9], 3),
-            impulses=from_chan(outs[10], nimp).reshape(B, ng + 1, 3),
+            impulses=from_chan(outs[10], nimp).reshape(B, nimp // 3, 3),
         )
 
     return jax.jit(run)

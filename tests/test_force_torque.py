@@ -137,3 +137,152 @@ def test_offcenter_strike_reads_in_sensor_lanes():
     # the sensor tensor exposes the same values in lanes 3:6
     wrench = T.acquire_force_sensor_tensor(sim, state, body_indices=[pb])
     np.testing.assert_allclose(np.asarray(wrench[0, 0, 3:6]), hit_tq)
+
+
+def _box_urdf(sx, sy, sz, mass=2.0):
+    return f"""
+<robot name="slab">
+  <link name="slab">
+    <inertial><origin xyz="0 0 0"/><mass value="{mass}"/>
+      <inertia ixx="0.1" iyy="0.1" izz="0.1" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><origin xyz="0 0 0"/>
+      <geometry><box size="{sx} {sy} {sz}"/></geometry></collision>
+  </link>
+</robot>
+"""
+
+
+def test_fused_multi_torque_matches_xla(monkeypatch):
+    """C8/C11-class (multi-articulation / multi-ball) fused kernel: the
+    force-sensor torque lanes and the art-static ncf contributions match the
+    XLA path (VERDICT r4 item 4 — the lanes used to exist only on the
+    single-articulation kernel)."""
+    from tests.test_pallas_dynamics import TOY_ARM_URDF
+    from isaacgym_tpu.models import urdf as U_
+    from isaacgym_tpu.models import kinematics as K_
+
+    monkeypatch.setenv("ISAACGYM_TPU_TORQUE", "1")
+    arm = K_.compile_tree(U_.parse_urdf(TOY_ARM_URDF, from_string=True))
+    ball = K_.compile_tree(U_.parse_urdf("""
+<robot name="toy_ball"><link name="ball">
+  <inertial><origin xyz="0 0 0"/><mass value="0.0027"/>
+    <inertia ixx="7e-7" iyy="7e-7" izz="7e-7" ixy="0" ixz="0" iyz="0"/></inertial>
+  <collision><origin xyz="0 0 0"/><geometry><sphere radius="0.02"/></geometry></collision>
+</link></robot>""", from_string=True))
+    slab = K_.compile_tree(U_.parse_urdf(_box_urdf(1.2, 1.2, 0.08),
+                                         from_string=True))
+    kp = np.full(3, 25.0, np.float32)
+    scene = compile_scene(SceneSpec(
+        actors=[
+            ActorSpec("arm1", arm, pos=(0, 0, 1.0), fixed_base=True,
+                      restitution=0.6, friction=0.5, stiffness=kp, damping=kp / 20),
+            ActorSpec("arm2", arm, pos=(2.0, 0, 1.0), quat=(0, 0, 1, 0),
+                      fixed_base=True, restitution=0.6, friction=0.5,
+                      stiffness=kp, damping=kp / 20),
+            # static slab inside arm1's downward swing arc (paddle arc
+            # bottoms out near z ~ 0.6): the arm presses into it ->
+            # art-static impulses/torques must land in ncf/nct
+            ActorSpec("slab", slab, pos=(0.35, 0.0, 0.55), fixed_base=True,
+                      restitution=0.4, friction=0.5),
+            # balls aimed at the arms' workspaces; they also land on the
+            # slab/plane (ball torque rows from sliding friction)
+            ActorSpec("ball1", ball, pos=(0.9, 0.02, 0.9), fixed_base=False,
+                      restitution=1.3, friction=0.2),
+            ActorSpec("ball2", ball, pos=(1.2, -0.02, 0.9), fixed_base=False,
+                      restitution=1.3, friction=0.2),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    ))
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert getattr(sim, "_fused_multi", None) is not None
+
+    B = 128
+    state0 = sim.initial_state(B)
+    state0 = state0._replace(
+        root=state0.root.at[:, 3, 7:10].set(jnp.asarray([-4.0, 0.1, 0.3]))
+                         .at[:, 4, 7:10].set(jnp.asarray([4.0, -0.1, 0.3])))
+    nd = scene.num_dofs
+    rng = np.random.RandomState(5)
+    # positive targets swing the toy arm DOWN (axis +y: x -> -z), pressing
+    # arm1 into the slab
+    tgt = jnp.asarray(rng.uniform(0.2, 1.2, (B, nd)).astype(np.float32))
+    eff = jnp.zeros((B, nd))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    s = state0
+    for _ in range(50):
+        s = fused(s, tgt, eff)
+    sf = fused(s, tgt, eff)
+    sx = xla(s, tgt, eff)
+    tq_f = np.asarray(sf.net_contact_torque)
+    tq_x = np.asarray(sx.net_contact_torque)
+    assert np.isfinite(tq_f).all()
+    ncf_gap = np.abs(np.asarray(sf.net_contact_force)
+                     - np.asarray(sx.net_contact_force)).reshape(B, -1).max(1)
+    # tight mask: a contact-margin flip shows a force gap long before the
+    # 5e-3 torque tolerance matters (clean envs sit at ~1e-3)
+    keep = ncf_gap < 0.05
+    assert keep.sum() >= B // 2
+    np.testing.assert_allclose(tq_f[keep], tq_x[keep], atol=5e-3)
+    # the lanes are alive: some env shows a nonzero geom-body torque
+    assert np.abs(tq_f[keep]).max() > 1e-5
+
+
+def test_fused_floating_torque_matches_xla(monkeypatch):
+    """C10-class (floating-base) fused kernel: wrench torque lanes +
+    art-static ncf contributions match XLA (VERDICT r4 item 4)."""
+    from tests.test_pallas_floating import TOY_URDF, BALL_URDF
+    from isaacgym_tpu.models import urdf as U_
+    from isaacgym_tpu.models import kinematics as K_
+
+    monkeypatch.setenv("ISAACGYM_TPU_TORQUE", "1")
+    biped = K_.compile_tree(U_.parse_urdf(TOY_URDF, from_string=True),
+                            floating_base=True)
+    ball = K_.compile_tree(U_.parse_urdf(BALL_URDF, from_string=True))
+    slab = K_.compile_tree(U_.parse_urdf(_box_urdf(0.8, 0.8, 0.06),
+                                         from_string=True))
+    kp = np.full(4, 40.0, np.float32)
+    scene = compile_scene(SceneSpec(
+        actors=[
+            ActorSpec("biped", biped, pos=(0, 0, 0.72), fixed_base=False,
+                      restitution=0.5, friction=0.6, stiffness=kp,
+                      damping=kp / 20),
+            # slab in front at paddle height: the arm strikes it
+            ActorSpec("slab", slab, pos=(0.5, 0.0, 0.9), fixed_base=True,
+                      restitution=0.4, friction=0.5),
+            # off-center incoming ball aimed at the paddle
+            ActorSpec("ball", ball, pos=(1.5, 0.05, 1.0), fixed_base=False,
+                      restitution=1.3, friction=0.2),
+        ],
+        plane=PlaneParams(), dt=1 / 120, substeps=2,
+    ))
+    sim = Simulator(scene)
+    sim._maybe_build_pallas(force=True)
+    assert sim._fused_floating is not None
+
+    B = 128
+    state0 = sim.initial_state(B)
+    state0 = state0._replace(
+        root=state0.root.at[:, 2, 7:10].set(jnp.asarray([-4.0, -0.2, 0.3])))
+    rng = np.random.RandomState(7)
+    tgt = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4)).astype(np.float32))
+    eff = jnp.zeros((B, 4))
+
+    fused = jax.jit(sim._step_batched_pallas)
+    xla = jax.jit(sim._step_vmapped)
+    s = state0
+    for _ in range(20):
+        s = fused(s, tgt, eff)
+    sf = fused(s, tgt, eff)
+    sx = xla(s, tgt, eff)
+    tq_f = np.asarray(sf.net_contact_torque)
+    tq_x = np.asarray(sx.net_contact_torque)
+    assert np.isfinite(tq_f).all()
+    ncf_gap = np.abs(np.asarray(sf.net_contact_force)
+                     - np.asarray(sx.net_contact_force)).reshape(B, -1).max(1)
+    keep = ncf_gap < 1.0
+    assert keep.sum() >= B // 2
+    np.testing.assert_allclose(tq_f[keep], tq_x[keep], atol=5e-3)
+    assert np.abs(tq_f[keep]).max() > 1e-5

@@ -46,3 +46,11 @@ def test_recorded_evidence_passes_current_gates():
                 "before tightening")
         assert r["flip_rate"] <= gate["max_flip_rate"], r["task"]
     assert seen == set(GATES), f"evidence missing for {set(GATES) - seen}"
+
+
+def test_resting_smooth_bands_match():
+    """The XLA and in-kernel resting-contact smoothing must use the same
+    band, or fused-vs-XLA parity silently degrades at contact margins."""
+    from isaacgym_tpu.sim import simulator as S
+    from isaacgym_tpu.ops import pallas_dynamics as PDK
+    assert S.RESTING_SMOOTH_BAND == PDK.RESTING_SMOOTH_BAND
