@@ -69,14 +69,24 @@ def main():
         jax.block_until_ready(state)
         times.append(time.perf_counter() - t0)
 
-    best = min(times)
+    # spread diagnostics (VERDICT r4 weak 3): the shared chip shows up to
+    # +-40% interference between identical runs, so a single best-of-N value
+    # is uninterpretable in isolation. Report best AND median AND spread so
+    # a bad draw can neither masquerade as nor mask a regression.
+    times_sorted = sorted(times)
+    best = times_sorted[0]
+    median = times_sorted[len(times_sorted) // 2]
     steps_per_s = num_envs * CHUNK / best
+    median_steps = num_envs * CHUNK / median
     suffix = "humanoid_pingpong" if task == TASK else task
     print(json.dumps({
         "metric": f"env_steps_per_s_{num_envs}envs_{suffix}",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / 1e6, 4),
+        "median": round(median_steps, 1),
+        "n_windows": len(times),
+        "spread": round((median - best) / best, 4),
     }))
 
 

@@ -116,6 +116,7 @@ class PingpongFamilyTask(TpuVecTask):
             paddle_pos=paddle[0:3],
             ball_pos=ball[0:3],
             ball_vx=ball[7],
+            ball_vel=ball[7:10],
             pre_vx=pre_ball_root[7],
             humanoid_x=humanoid[0],
             power_reward=-self.power_coefficient * power,

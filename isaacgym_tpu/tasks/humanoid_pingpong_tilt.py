@@ -33,6 +33,8 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
         env["numActions"] = 7
         self.hit_table_reward = float(env["hitTableReward"])
         self.not_hit_table_penalty = float(env["nothitTablePenalty"])
+        # curriculum-only knob (CLI resolver landing_shaping); 0 = reference
+        self.landing_shaping_weight = float(env.get("landingShapingWeight", 0.0))
         super().__init__(cfg, seed=seed)
 
     # per-episode event telemetry (reference event prints :1333-1337).
@@ -66,6 +68,7 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
         this step), over_net (ball inside the net window this step)}."""
         ball_pos = c["ball_pos"]
         vx = c["ball_vx"]
+        rew_calc_0 = rew_calc
 
         dist = jnp.linalg.norm(c["paddle_pos"] - ball_pos)
         pos_reward = 1.0 / (1.0 + 1.5 * dist * dist)
@@ -105,6 +108,29 @@ class HumanoidPingpongTilt(PingpongFamilyTask):
 
         reward = (reward + pos_reward + velocity_reward
                   + hit_reward + cross_net_reward)
+
+        # Curriculum-only dense landing shaping (landingShapingWeight,
+        # default 0.0 = exact reference reward). Fires once per episode, on
+        # the same step the one-shot landing machine latches (short bounce /
+        # good bounce / overshoot crossing), with a gaussian on the
+        # BALLISTIC PREDICTED landing point — so overshoots of different
+        # magnitudes get different credit (the one-shot penalties alone are
+        # flat in the overshoot regime, which is why five round-4 training
+        # attempts pinned at background; docs/LEARNING.md round-4 section).
+        w = getattr(self, "landing_shaping_weight", 0.0)
+        if w and c.get("ball_vel") is not None:
+            v = c["ball_vel"]
+            grav = 9.81
+            dz = jnp.maximum(ball_pos[2] - 0.83, 0.0)
+            t_fall = jnp.where(
+                ball_pos[2] > 0.83,
+                (v[2] + jnp.sqrt(v[2] * v[2] + 2.0 * grav * dz)) / grav, 0.0)
+            x_land = ball_pos[0] + v[0] * t_fall
+            y_land = ball_pos[1] + v[1] * t_fall
+            shaping = w * jnp.exp(-((x_land - 2.77) ** 2 + y_land ** 2))
+            first_landing = rew_calc & ~rew_calc_0
+            reward = reward + jnp.where(first_landing, shaping, 0.0)
+
         return reward, cond_calc, rew_calc, no_bounce, {
             "good": good, "over_net": over_net}
 

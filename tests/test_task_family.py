@@ -405,3 +405,45 @@ def test_c8_two_player_step_and_events():
     assert np.isfinite(np.asarray(obs)).all()
     assert {"hit_paddle", "hit_opponent_table", "hit_paddle2",
             "hit_opponent_table2"} <= set(info["episode_events"])
+
+
+def test_c6_landing_shaping_default_off_and_one_shot():
+    """Curriculum landing shaping (landingShapingWeight): default 0 leaves
+    the reference reward untouched; when enabled it fires exactly once, on
+    the one-shot landing latch, with a gaussian on the ballistic predicted
+    landing point."""
+    import math
+    env = isaacgym_tpu.make(seed=6, task="HumanoidPingpongTiltG1", num_envs=2)
+    task = env
+    f = jnp.asarray(False)
+
+    def core(weight, ball_pos, ball_vel, rew_calc):
+        task.landing_shaping_weight = weight
+        c = dict(paddle_pos=jnp.asarray([0.3, 0.0, 1.0]),
+                 ball_pos=jnp.asarray(ball_pos),
+                 ball_vel=jnp.asarray(ball_vel),
+                 ball_vx=jnp.asarray(ball_vel[0]),
+                 pre_vx=jnp.asarray(1.0),  # no velocity-flip bonus
+                 humanoid_x=jnp.asarray(0.0),
+                 power_reward=jnp.asarray(0.0))
+        r, cc, rc, nb, ev = task._tilt_reward_core(
+            c, f, jnp.asarray(rew_calc), jnp.asarray(True))
+        return float(r), bool(rc)
+
+    # overshoot crossing (x>=3.1 moving +x, above table plane)
+    pos, vel = [3.2, 0.1, 1.0], [4.0, 0.0, -1.0]
+    r_off, rc_off = core(0.0, pos, vel, False)
+    r_on, rc_on = core(500.0, pos, vel, False)
+    assert rc_off and rc_on
+    # predicted ballistic landing at z=0.83
+    g = 9.81
+    t = (vel[2] + math.sqrt(vel[2] ** 2 + 2 * g * (pos[2] - 0.83))) / g
+    xl, yl = pos[0] + vel[0] * t, pos[1] + vel[1] * t
+    expected = 500.0 * math.exp(-((xl - 2.77) ** 2 + yl ** 2))
+    np.testing.assert_allclose(r_on - r_off, expected, rtol=1e-5)
+
+    # one-shot: latch already set -> no shaping even with weight on
+    r_latched, _ = core(500.0, pos, vel, True)
+    r_latched_off, _ = core(0.0, pos, vel, True)
+    np.testing.assert_allclose(r_latched, r_latched_off, rtol=1e-6)
+    task.landing_shaping_weight = 0.0
