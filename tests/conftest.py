@@ -18,11 +18,14 @@ import jax  # noqa: E402
 # Escape hatch for the once-per-round heavy kernel-parity tier: the fused
 # 14/26/27-DOF kernels compile in seconds on the real TPU backend but cost
 # tens of minutes in interpret mode on XLA:CPU, so the heavy tier is run as
-#   ISAACGYM_TPU_TEST_PLATFORM=tpu ISAACGYM_TPU_HEAVY_TESTS=1 pytest ...
-# and its log is committed (docs/runs/heavy_tier_r*.log). Everything else
-# stays on the virtual 8-device CPU mesh.
+#   ISAACGYM_TPU_TEST_PLATFORM=native ISAACGYM_TPU_HEAVY_TESTS=1 pytest ...
+# ("native" leaves platform selection to the installed TPU plugin, which
+# registers under its own name) and its log is committed
+# (docs/runs/heavy_tier_r*.log). Everything else stays on the virtual
+# 8-device CPU mesh.
 _platform = os.environ.get("ISAACGYM_TPU_TEST_PLATFORM", "cpu")
-jax.config.update("jax_platforms", _platform)
+if _platform != "native":
+    jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", False)
 
 # persistent compilation cache: the fused env step is a large graph; caching

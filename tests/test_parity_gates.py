@@ -4,7 +4,7 @@
 real TPU hardware; this CPU test keeps the gate table honest:
 
 - every gated task has a default size and every threshold key exists;
-- the committed measurement (`docs/runs/parity_r4.jsonl`) PASSES the
+- the committed measurement (`docs/runs/parity_r5.jsonl`) PASSES the
   current thresholds — tightening a gate without re-measuring on-chip, or
   editing the tool's field list, fails here instead of silently shipping a
   gate that no recorded run satisfies.
@@ -18,7 +18,7 @@ import pytest
 from tools.parity_tpu import DEFAULT_SIZES, GATED_FIELDS, GATES
 
 EVIDENCE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "docs", "runs", "parity_r4.jsonl")
+                        "docs", "runs", "parity_r5.jsonl")
 
 
 def test_gate_table_complete():
